@@ -1,0 +1,69 @@
+"""Engine configuration.
+
+One frozen dataclass carries every tuning knob of the dedup pipeline so a run
+is fully reproducible from (input snapshot, config, code version). Defaults
+are chosen for the recall >= 0.99 gate (BASELINE.json "metric"): with
+``num_hashes=128``, ``lsh_bands=32`` (rows_per_band=4) the S-curve candidate
+probability at Jaccard s is 1-(1-s^4)^32, i.e. >= 0.988 at s=0.6 and
+~1-5e-8 at s=0.8 — so with an *exact* Jaccard verify stage downstream,
+pipeline recall at threshold 0.8 is limited only by LSH at ~1.0 and precision
+is exactly 1.0.
+
+The reference's analogous knobs: candidate cap ntop=25 / lower_bound=0
+(``reference/static.py:194``), fuzzy thresholds 95/90
+(``reference/groups_creation.py:37-39``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling -------------------------------------------------------
+    shingle_mode: str = "char"  # "char" (k-byte shingles) | "token" (word n-grams)
+    shingle_k: int = 5          # k for char mode, n for token mode
+
+    # --- MinHash / LSH ---------------------------------------------------
+    num_hashes: int = 128       # MinHash signature length
+    lsh_bands: int = 32         # bands; rows_per_band = num_hashes // lsh_bands
+    jaccard_threshold: float = 0.8  # exact-Jaccard verify threshold
+
+    # --- SimHash ---------------------------------------------------------
+    simhash_bits: int = 64
+    simhash_chunks: int = 4     # pigeonhole chunks -> detects hamming <= chunks-1
+    simhash_hamming_max: int = 3
+
+    # --- skew / scale controls (SURVEY.md §4.1) -------------------------
+    # Buckets with <= bucket_cap members enumerate all pairs; larger buckets
+    # (boilerplate pages whose band hash collides for millions of docs) are
+    # star-connected through their min doc_id instead of exploding O(n^2).
+    bucket_cap: int = 64
+    # Optional per-doc candidate cap for reference parity (ntop=25,
+    # reference/static.py:194). None = unbounded (LSH bounds structurally).
+    candidate_cap_per_doc: int | None = None
+    shuffle_partitions: int = 32
+
+    # --- misc ------------------------------------------------------------
+    seed: int = 42
+    min_doc_chars: int = 1      # docs shorter than this skip near-dup stages
+    substring_min_len: int = 50 # min length for exact-substring dedup match
+
+    @property
+    def rows_per_band(self) -> int:
+        if self.num_hashes % self.lsh_bands != 0:
+            raise ValueError("num_hashes must be divisible by lsh_bands")
+        return self.num_hashes // self.lsh_bands
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+    def candidate_probability(self, s: float) -> float:
+        """P(pair with true Jaccard s becomes an LSH candidate)."""
+        r = self.rows_per_band
+        return 1.0 - (1.0 - s**r) ** self.lsh_bands
+
+
+PARITY_CONFIG = DedupConfig(candidate_cap_per_doc=25)
+"""Reference-parity config: top-25 candidate cap per reference/static.py:194."""

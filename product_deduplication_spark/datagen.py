@@ -1,0 +1,158 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md F1).
+
+Generates the BASELINE.json input_hint table
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+with injected duplicates at known mutation rates, plus ground truth:
+
+- ``truth_pairs(url_a, url_b, kind)``, kind in {exact, near, substring}
+- ``truth_clusters(url, cluster_id)`` = connected components of truth_pairs
+
+Fully seeded (numpy default_rng) — same (n_docs, seed) always yields
+byte-identical parquet content. html is a fixed wrapper of text so extracted
+text is a pure function of html bytes (byte-identical invariant,
+BASELINE.json input_hint).
+
+Can also wrap the driver-provided ``documents.parquet`` text
+(/root/testdata, TESTDATA.md) into the same shape via ``wrap_documents``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import html as _html
+
+import numpy as np
+import pandas as pd
+
+_VOCAB_SIZE = 5000
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "en", "es", "pt", "de"]
+_BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+HTML_PREFIX = "<html><body><p>"
+HTML_SUFFIX = "</p></body></html>"
+
+
+def _vocab(rng: np.random.Generator) -> np.ndarray:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lengths = rng.integers(3, 10, size=_VOCAB_SIZE)
+    return np.array(["".join(rng.choice(letters, size=n)) for n in lengths])
+
+
+def text_to_html(text: str) -> bytes:
+    return (HTML_PREFIX + _html.escape(text) + HTML_SUFFIX).encode("utf-8")
+
+
+def _mutate(tokens: list[str], rate: float, rng: np.random.Generator, vocab: np.ndarray) -> list[str]:
+    """Token-level swap/drop/insert at the given rate (FIXTURES.md F1)."""
+    out: list[str] = []
+    for tok in tokens:
+        r = rng.random()
+        if r < rate / 3:
+            out.append(str(rng.choice(vocab)))  # substitute
+        elif r < 2 * rate / 3:
+            continue  # drop
+        elif r < rate:
+            out.append(tok)
+            out.append(str(rng.choice(vocab)))  # insert
+        else:
+            out.append(tok)
+    return out if out else tokens[:1]
+
+
+def generate_web_documents(
+    n_base_docs: int = 1000,
+    seed: int = 42,
+    dup_fraction: float = 0.25,
+    substring_fraction: float = 0.05,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (docs, truth_pairs) pandas frames.
+
+    docs: url, warc_ts, html (bytes), text, lang
+    truth_pairs: url_a, url_b, kind
+    """
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    # zipf-ish token distribution
+    ranks = np.arange(1, _VOCAB_SIZE + 1, dtype=np.float64)
+    probs = 1.0 / ranks**1.1
+    probs /= probs.sum()
+
+    rows: list[tuple[str, dt.datetime, str, str]] = []
+    pairs: list[tuple[str, str, str]] = []
+    i = 0
+
+    def url_for(j: int) -> str:
+        return f"https://host{j % 997}.example/p/{j}"
+
+    def add(text: str, lang: str) -> str:
+        nonlocal i
+        u = url_for(i)
+        rows.append((u, _BASE_TS + dt.timedelta(seconds=i), text, lang))
+        i += 1
+        return u
+
+    mutation_rates = [0.0, 0.02, 0.05, 0.15]
+    for _ in range(n_base_docs):
+        n_tok = int(rng.integers(50, 500))
+        tokens = list(rng.choice(vocab, size=n_tok, p=probs))
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        base_url = add(" ".join(tokens), lang)
+        r = rng.random()
+        if r < dup_fraction:
+            n_copies = int(rng.integers(1, 4))
+            for _ in range(n_copies):
+                rate = mutation_rates[int(rng.integers(0, len(mutation_rates)))]
+                if rate == 0.0:
+                    dup_url = add(" ".join(tokens), lang)
+                    pairs.append((base_url, dup_url, "exact"))
+                else:
+                    mut = _mutate(tokens, rate, rng, vocab)
+                    dup_url = add(" ".join(mut), lang)
+                    pairs.append((base_url, dup_url, "near"))
+        elif r < dup_fraction + substring_fraction and n_tok >= 120:
+            # contiguous slice >= 50% of the doc
+            start = int(rng.integers(0, n_tok // 4))
+            length = int(rng.integers(n_tok // 2, n_tok - start))
+            sub_url = add(" ".join(tokens[start : start + length]), lang)
+            pairs.append((base_url, sub_url, "substring"))
+
+    docs = pd.DataFrame(rows, columns=["url", "warc_ts", "text", "lang"])
+    docs["html"] = docs["text"].map(text_to_html)
+    docs = docs[["url", "warc_ts", "html", "text", "lang"]]
+    truth = pd.DataFrame(pairs, columns=["url_a", "url_b", "kind"])
+    return docs, truth
+
+
+def truth_clusters(truth_pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components of truth pairs via union-find (test oracle)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(truth_pairs["url_a"], truth_pairs["url_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    urls = sorted(parent)
+    return pd.DataFrame({"url": urls, "cluster_id": [find(u) for u in urls]})
+
+
+def wrap_documents(documents_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Wrap the driver's documents table (doc_id, text, lang, ...) into the
+    input_hint shape (url, warc_ts, html, text, lang)."""
+    out = pd.DataFrame(
+        {
+            "url": documents_pdf["doc_id"].map(lambda d: f"https://docs.example/d/{d}"),
+            "warc_ts": documents_pdf["doc_id"].map(
+                lambda d: _BASE_TS + dt.timedelta(seconds=int(d))
+            ),
+            "html": documents_pdf["text"].map(text_to_html),
+            "text": documents_pdf["text"],
+            "lang": documents_pdf["lang"],
+        }
+    )
+    return out

@@ -1,0 +1,95 @@
+"""Arrow-batched feature-extraction UDFs: html→text, shingles, MinHash, SimHash.
+
+Replaces the reference's eager normalize→TF-IDF chain
+(``reference/static.py:40-56,177-189``) with lazy columnar stages. Each UDF
+processes a whole Arrow batch with numpy kernels from
+:mod:`product_deduplication_spark.functions.hashing` — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from product_deduplication_spark.config import DedupConfig
+from product_deduplication_spark.functions import hashing
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("shingles", T.ArrayType(T.LongType()), False),
+        T.StructField("minhash", T.ArrayType(T.LongType()), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def make_extract_text_udf():
+    """html (binary) → extracted text. Pure function of the html bytes:
+    strip tags, unescape entities. For the synthetic wrapper
+    ``<html><body><p>{escape(text)}</p></body></html>`` this reproduces
+    ``text`` byte-identically (BASELINE.json input_hint invariant; tested in
+    tests/test_extraction.py)."""
+
+    @pandas_udf(T.StringType())
+    def extract_text(html: pd.Series) -> pd.Series:
+        decoded = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+        stripped = decoded.str.replace(_TAG_RE, "", regex=True)
+        return stripped.map(_html.unescape)
+
+    return extract_text
+
+
+def make_feature_udf(cfg: DedupConfig):
+    """text → struct(shingles array<long>, minhash array<long>, simhash long).
+
+    shingles: distinct k-shingle hashes (char or token mode) — the exact-
+    Jaccard verify stage uses these via JVM array_intersect/array_union.
+    minhash: length ``cfg.num_hashes`` signature (batched numpy, xor-seed
+    splitmix64 family, ``hashing.minhash_signatures``).
+    simhash: 64-bit TF-weighted fingerprint.
+    """
+    seeds = hashing.minhash_seeds(cfg.num_hashes, cfg.seed)
+    k = cfg.shingle_k
+    mode = cfg.shingle_mode
+
+    @pandas_udf(FEATURE_SCHEMA)
+    def features(text: pd.Series) -> pd.DataFrame:
+        texts = text.fillna("").tolist()
+        if mode == "char":
+            shingle_sets = [hashing.char_shingle_hashes(t, k) for t in texts]
+        else:
+            shingle_sets = [hashing.token_ngram_hashes(t, k) for t in texts]
+        sig = hashing.minhash_signatures(shingle_sets, seeds)
+        tok = [hashing.token_hashes(t) for t in texts]
+        sh = hashing.simhash64(tok)
+        return pd.DataFrame(
+            {
+                "shingles": [s.view(np.int64) for s in shingle_sets],
+                "minhash": list(sig),
+                "simhash": sh,
+            }
+        )
+
+    return features
+
+
+def with_features(df, cfg: DedupConfig, text_col: str = "text"):
+    """Append doc_id (xxhash64 of url — long node ids for CC joins, cf.
+    integer-encoding rationale at ``reference/static.py:267-271``) and the
+    feature struct columns."""
+    feat = make_feature_udf(cfg)
+    out = df.withColumn("_f", feat(F.col(text_col)))
+    return (
+        out.withColumn("shingles", F.col("_f.shingles"))
+        .withColumn("minhash", F.col("_f.minhash"))
+        .withColumn("simhash", F.col("_f.simhash"))
+        .drop("_f")
+    )

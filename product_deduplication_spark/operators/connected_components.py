@@ -1,0 +1,101 @@
+"""Connected components via alternating large-star / small-star.
+
+Replaces the reference's sequential greedy group-union loop
+(``reference/static.py:127-175``, driver loop ``static.py:286-289``;
+SURVEY.md A12). Equivalence: the reference merges any overlapping groups
+transitively, so its final partitions equal connected components over the
+verified-pair edge list (SURVEY.md §2.8 note on V7/A12) — large-star/
+small-star computes exactly that in O(log n) rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014).
+
+Each round is two join+min-aggregation jobs; ``localCheckpoint`` per round
+truncates lineage (SURVEY.md §4.2). Convergence = edge multiset stable
+(count + order-insensitive xxhash64 sum — one cheap agg per round).
+
+At scale: all joins are on long node ids; min() aggs partial-aggregate
+map-side, so a hot root (giant component) never concentrates raw edges on
+one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) pairs, no self-loops, distinct."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node, connect strictly-larger neighbors to the min of the
+    closed neighborhood."""
+    nbrs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    mins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
+    mins = mins.withColumn("m", F.least("a", "mn")).select("a", "m")
+    return (
+        nbrs.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors (and self) to the neighborhood min."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    moved = edges.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return moved.unionAll(self_edges)
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free (ANSI-safe) multiset hash —
+    # valid because the canonicalized edge set is distinct
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Labels (node, component) for every node appearing in ``edges``;
+    component = min node id of the component (deterministic labeling,
+    mirrors SURVEY.md §5.2 "min-member-id labeled partitions")."""
+    e = _canonical(edges).localCheckpoint(eager=True)
+    if e.isEmpty():
+        return edges.sparkSession.createDataFrame([], "node long, component long")
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _canonical(_large_star(e))
+        e = _canonical(_small_star(e)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # converged star: every edge is (member u -> root v)
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return members.unionByName(roots).dropDuplicates(["node"])
+
+
+def assign_clusters(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every doc gets a cluster_id: its component root, or itself if unlinked."""
+    labels = connected_components(edges)
+    return (
+        docs.join(labels, docs[id_col] == labels["node"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node", "component")
+    )

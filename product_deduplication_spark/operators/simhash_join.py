@@ -1,0 +1,76 @@
+"""SimHash Hamming-neighborhood candidate generation.
+
+Second candidate channel (SURVEY.md §7.1 s4b, BASELINE.json north_star):
+64-bit TF-weighted SimHash per doc; pairs within Hamming distance d are
+candidates. By the pigeonhole principle, splitting the fingerprint into
+``chunks`` pieces guarantees two fingerprints with Hamming distance
+< chunks share at least one identical chunk — so the candidate join is
+``chunks`` equi-joins (one per chunk index), entirely JVM-side, followed by
+an exact popcount filter (``bit_count``, whole-stage codegen).
+
+Default 4 chunks of 16 bits → guaranteed recall for Hamming <= 3.
+
+Skew: identical fingerprints (exact dups / boilerplate) would make a chunk
+key hot; the same hub-star trick as LSH applies — docs whose FULL simhash is
+identical are star-connected first and only distinct fingerprints enter the
+pairwise chunk join (one representative per fingerprint), bounding any chunk
+bucket by the number of *distinct* fingerprints in it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from product_deduplication_spark.config import DedupConfig
+
+
+def _chunk(col, i: int, width: int):
+    return F.shiftrightunsigned(col, i * width).bitwiseAND(F.lit((1 << width) - 1))
+
+
+def simhash_candidate_pairs(
+    features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """(src, dst) candidate pairs with Hamming(simhash) <= cfg.simhash_hamming_max."""
+    width = cfg.simhash_bits // cfg.simhash_chunks
+    fp = features.select(F.col(id_col).alias("node"), F.col("simhash"))
+
+    # star-connect identical fingerprints; one representative per fingerprint
+    reps = fp.groupBy("simhash").agg(F.min("node").alias("node"), F.count("*").alias("n"))
+    same_fp_pairs = (
+        fp.join(reps.select("simhash", F.col("node").alias("hub"), "n"), "simhash")
+        .where((F.col("n") > 1) & (F.col("node") != F.col("hub")))
+        .select(F.col("hub").alias("src"), F.col("node").alias("dst"))
+    )
+
+    distinct_fp = reps.select("node", "simhash")
+    chunked = distinct_fp.select(
+        "node",
+        "simhash",
+        F.posexplode(
+            F.array(*[_chunk(F.col("simhash"), i, width) for i in range(cfg.simhash_chunks)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select(
+        F.col("chunk_idx"),
+        F.col("chunk_val"),
+        F.col("node").alias("src"),
+        F.col("simhash").alias("sh_a"),
+    )
+    b = chunked.select(
+        F.col("chunk_idx"),
+        F.col("chunk_val"),
+        F.col("node").alias("dst"),
+        F.col("simhash").alias("sh_b"),
+    )
+    near = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("src") < F.col("dst"))
+        .where(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            <= F.lit(cfg.simhash_hamming_max)
+        )
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    return near.unionByName(same_fp_pairs).dropDuplicates(["src", "dst"])

@@ -1,0 +1,50 @@
+"""Pair verification: exact Jaccard over shingle sets, JVM-side.
+
+Replaces the reference's per-row ``fuzz.token_sort_ratio`` apply
+(``reference/static.py:203-215``, SURVEY.md V4) — instead of a Python loop we
+join candidate pairs back to per-doc shingle arrays and compute
+``size(array_intersect)/size(array_union)`` inside whole-stage codegen.
+Precision after this stage is exactly 1.0 w.r.t. the Jaccard threshold, so
+end-to-end recall is determined solely by candidate generation (LSH S-curve).
+
+Scale: two shuffles (sort-merge joins pairs↔features on long keys). The
+features projection carries only (doc_id, shingles) — column pruning keeps
+text/html out of the shuffle. Optional per-doc candidate cap reproduces the
+reference's ntop=25 (``reference/static.py:194``) via a rank window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from product_deduplication_spark.config import DedupConfig
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    features: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    method: str = "minhash",
+) -> DataFrame:
+    """(src, dst, method, similarity) for pairs with exact Jaccard >= threshold."""
+    feat = features.select(F.col(id_col).alias("_fid"), F.col("shingles").alias("_sh"))
+    a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
+    b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")
+    joined = pairs.join(a, "src").join(b, "dst")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = (
+        joined.withColumn("similarity", sim)
+        .where(F.col("similarity") >= F.lit(cfg.jaccard_threshold))
+        .select("src", "dst", F.lit(method).alias("method"), "similarity")
+    )
+    if cfg.candidate_cap_per_doc is not None:
+        w = Window.partitionBy("src").orderBy(F.desc("similarity"), F.asc("dst"))
+        out = (
+            out.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cfg.candidate_cap_per_doc)
+            .drop("_rk")
+        )
+    return out

@@ -1,0 +1,111 @@
+"""End-to-end near-duplicate pipeline (SURVEY.md §7.1 architecture).
+
+ingest(url, warc_ts, html, text, lang)
+  → s1 normalize: extract_text(html) invariance check, doc_id = xxhash64(url)
+  → s2 exact:     sha2(text) star edges
+  → s3/s4 features: shingles + MinHash + SimHash (one Arrow UDF pass)
+  → s4a LSH band candidates   → s5 verify (exact Jaccard)
+  → s4b SimHash candidates    ↗
+  → s6 cluster: large-star/small-star CC
+  → s8 winner per cluster (longest text, earliest warc_ts tiebreak — webtext
+       analog of winner selection, reference/winner_selection.py:108-109)
+
+Mirrors the reference entry point ``groups_creation.main``
+(``reference/groups_creation.py:249-304``) with the substitutions documented
+in SURVEY.md §2. All stages are lazy DataFrames; `run_dedup` triggers them
+and returns the handle dict so callers can persist any stage as a snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from product_deduplication_spark.config import DedupConfig
+from product_deduplication_spark.functions.features import make_extract_text_udf, with_features
+from product_deduplication_spark.operators.connected_components import assign_clusters
+from product_deduplication_spark.operators.exact_dedup import exact_duplicate_edges
+from product_deduplication_spark.operators.lsh import candidate_pairs
+from product_deduplication_spark.operators.simhash_join import simhash_candidate_pairs
+from product_deduplication_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class DedupResult:
+    docs: DataFrame        # url, warc_ts, lang, text, doc_id
+    features: DataFrame    # doc_id, shingles, minhash, simhash
+    exact_edges: DataFrame # src, dst, method, similarity
+    near_edges: DataFrame  # verified near-dup edges
+    all_edges: DataFrame
+    clusters: DataFrame    # url, doc_id, cluster_id, is_winner
+
+
+def prepare_docs(df: DataFrame, cfg: DedupConfig, validate_extraction: bool = False) -> DataFrame:
+    """Stage s1: doc ids + optional byte-identical extraction check.
+
+    ``doc_id = xxhash64(url)`` gives long node ids for all downstream joins
+    (cf. integer encoding rationale, reference/static.py:267-271).
+    """
+    out = df.withColumn("doc_id", F.xxhash64("url"))
+    if validate_extraction and "html" in df.columns:
+        extract = make_extract_text_udf()
+        out = out.withColumn("_extracted", extract(F.col("html")))
+        # invariant (input_hint): extracted text byte-identical to text column
+        out = out.withColumn(
+            "extraction_ok", F.col("_extracted") == F.col("text")
+        ).drop("_extracted")
+    return out
+
+
+def pick_winners(clusters: DataFrame) -> DataFrame:
+    """Winner per cluster: longest text, then earliest warc_ts, then min url.
+
+    Webtext analog of reference winner selection (W2 group argmax,
+    ``reference/winner_selection.py:108-109``)."""
+    order = [F.desc(F.length("text"))]
+    if "warc_ts" in clusters.columns:
+        order.append(F.asc("warc_ts"))
+    order.append(F.asc("url"))
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    return clusters.withColumn("is_winner", F.row_number().over(w) == 1)
+
+
+def run_dedup(
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    use_simhash: bool = False,
+    validate_extraction: bool = False,
+) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    docs = prepare_docs(df, cfg, validate_extraction=validate_extraction)
+    eligible = docs.where(F.length("text") >= cfg.min_doc_chars)
+
+    feats = with_features(
+        eligible.select("doc_id", "text"), cfg
+    ).select("doc_id", "shingles", "minhash", "simhash")
+    # features feed 2-3 downstream consumers — cache once (at cluster scale
+    # this stage is persisted as a snapshot table instead, see catalog.py)
+    feats = feats.persist()
+
+    exact = exact_duplicate_edges(eligible, "doc_id", "text")
+
+    lsh_pairs = candidate_pairs(feats, cfg)
+    pairs = lsh_pairs
+    if use_simhash:
+        pairs = pairs.unionByName(simhash_candidate_pairs(feats, cfg)).dropDuplicates(
+            ["src", "dst"]
+        )
+    near = verify_pairs(pairs, feats, cfg)
+
+    all_edges = exact.unionByName(near).dropDuplicates(["src", "dst"])
+    clustered = assign_clusters(docs, all_edges.select("src", "dst"), "doc_id")
+    clustered = pick_winners(clustered)
+    return DedupResult(
+        docs=docs,
+        features=feats,
+        exact_edges=exact,
+        near_edges=near,
+        all_edges=all_edges,
+        clusters=clustered,
+    )
