@@ -1,0 +1,52 @@
+"""Local replica of the driver's correctness gate: every queries() entry vs
+its DuckDB oracle at sf0.01 (row count + schema + order-insensitive values).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from product_deduplication_spark.oracle.compare import compare_frames, duckdb_conn  # noqa: E402
+
+SF01 = "/root/testdata/sf0.01"
+
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(2000).collect()
+    assert len(rows) > 0
+    assert {"url", "doc_id", "cluster_id", "is_winner"} <= set(df.columns)
+
+
+def test_every_oracle_key_has_query():
+    assert set(_ORACLES) <= set(_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_conn(SF01)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_pdf = _QUERIES[name](spark, SF01).toPandas()
+    duck_pdf = duck.execute(_ORACLES[name]).df()
+    problems = compare_frames(spark_pdf, duck_pdf)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF01)
+    assert df.count() >= 0
