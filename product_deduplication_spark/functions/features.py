@@ -68,7 +68,7 @@ def make_feature_udf(cfg: DedupConfig):
         else:
             shingle_sets = [hashing.token_ngram_hashes(t, k) for t in texts]
         sig = hashing.minhash_signatures(shingle_sets, seeds)
-        tok = [hashing.token_hashes(t) for t in texts]
+        tok = hashing.token_hashes_batch(texts)
         sh = hashing.simhash64(tok)
         return pd.DataFrame(
             {
@@ -82,10 +82,12 @@ def make_feature_udf(cfg: DedupConfig):
 
 
 def with_features(df, cfg: DedupConfig, text_col: str = "text"):
-    """Append doc_id (xxhash64 of url — long node ids for CC joins, cf.
-    integer-encoding rationale at ``reference/static.py:267-271``) and the
-    feature struct columns."""
+    """Append the feature struct columns, spreading the Arrow-UDF work
+    across all cores first — a small parquet scan arrives as 1-2 partitions
+    and would otherwise compute features single-threaded."""
     feat = make_feature_udf(cfg)
+    if df.rdd.getNumPartitions() < cfg.shuffle_partitions:
+        df = df.repartition(cfg.shuffle_partitions)
     out = df.withColumn("_f", feat(F.col(text_col)))
     return (
         out.withColumn("shingles", F.col("_f.shingles"))

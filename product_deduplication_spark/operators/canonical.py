@@ -1,0 +1,166 @@
+"""Persistent canonical catalog: bootstrap + incremental upsert.
+
+Re-expresses ``reference/clean_canonical.py`` (SURVEY.md §2.1 S6, V10, V11,
+§4.4) over DataFrames:
+
+- first-run vs incremental branch (``reference/clean_canonical.py:296-338``)
+  → ``bootstrap_canonical`` / ``upsert_canonical``
+- direct-match short circuit: a member whose normalized name equals an
+  existing ``canonical_member`` links without similarity
+  (``reference/bivariate_comparison.py:98-136``, V11) → left_semi/left_anti
+  split
+- leader pinning: existing canonical leaders stay leaders of their group
+  (``reference/bivariate_comparison.py:158-172``, V10)
+- sequential canonical id assignment (``reference/clean_canonical.py:47-50,
+  357``) → two-pass range-partitioned row numbering, NO single-partition
+  global window (SURVEY.md §4.4): repartitionByRange gives ordered partition
+  ids, per-partition counts give offsets, row_number runs inside each
+  partition.
+
+Table shapes follow FIXTURES.md F3:
+  canonical_catalog(canonical_id, canonical_leader)
+  canonical_links(item_uuid, item_name, canonical_id, canonical_leader,
+                  canonical_member, agent_verified)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def assign_sequential_ids(
+    df: DataFrame, order_cols: list[str], id_col: str, start: int = 1
+) -> DataFrame:
+    """Deterministic gap-free sequential ids without a global window.
+
+    Two-pass (SURVEY.md §4.4): range-repartition on the order columns (range
+    partition i holds keys strictly below partition i+1), count rows per
+    partition, cumulative offsets via a tiny driver-side map (numPartitions
+    entries — O(partitions), not O(rows)), then row_number within each
+    partition.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = start
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
+def bootstrap_canonical(groups: DataFrame, start_id: int = 1) -> tuple[DataFrame, DataFrame]:
+    """First run (``reference/clean_canonical.py:296-336``): every group
+    becomes a canonical entity; every member becomes a link.
+
+    groups: (group_id, leader, member, item_uuid, item_name) — the groups
+    table shape (``reference/groups_creation.py:292-294`` + back-prop map).
+    Returns (canonical_catalog, canonical_links).
+    """
+    leaders = groups.select("group_id", "leader").distinct()
+    catalog = assign_sequential_ids(leaders, ["leader"], "canonical_id", start_id).select(
+        "canonical_id", F.col("leader").alias("canonical_leader"), "group_id"
+    )
+    links = (
+        groups.join(catalog, "group_id")
+        .select(
+            "item_uuid",
+            "item_name",
+            "canonical_id",
+            "canonical_leader",
+            F.col("member").alias("canonical_member"),
+            F.lit(0).alias("agent_verified"),
+        )
+        .dropDuplicates(["item_uuid", "canonical_id", "canonical_member"])
+    )
+    return catalog.drop("group_id"), links
+
+
+def upsert_canonical(
+    catalog: DataFrame, links: DataFrame, groups: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental run (``reference/clean_canonical.py:338-418``).
+
+    1. V11 direct match: members equal to an existing canonical_member link
+       to that canonical_id immediately.
+    2. V10 leader pinning: a group containing an existing canonical_leader
+       adopts that leader + its canonical_id.
+    3. Remaining groups get fresh sequential ids above max(canonical_id).
+    Returns updated (catalog, links); links key-unique on (item_uuid,
+    canonical_id, canonical_member) (invariant at
+    ``reference/clean_canonical.py:207``).
+    """
+    member_index = links.select(
+        F.col("canonical_member").alias("member"), "canonical_id", "canonical_leader"
+    ).dropDuplicates(["member"])
+
+    # 1. direct matches
+    direct = groups.join(F.broadcast(member_index), "member", "inner").select(
+        "item_uuid",
+        "item_name",
+        "canonical_id",
+        "canonical_leader",
+        F.col("member").alias("canonical_member"),
+        F.lit(0).alias("agent_verified"),
+    )
+    rest = groups.join(F.broadcast(member_index), "member", "left_anti")
+
+    # 2. leader pinning: group contains an existing canonical leader.
+    # Detected over the FULL group membership (not just `rest`): a group
+    # whose leader-member was itself a direct match must still pin its
+    # remaining members to that canonical entity (V10 semantics,
+    # reference/bivariate_comparison.py:158-172).
+    leader_index = catalog.select(
+        F.col("canonical_leader").alias("member"), "canonical_id", "canonical_leader"
+    )
+    pinned_candidates = groups.join(F.broadcast(leader_index), "member", "inner")
+    pinned_groups = (
+        pinned_candidates.groupBy("group_id")
+        .agg(F.min(F.struct("canonical_id", "canonical_leader")).alias("_c"))
+        .select("group_id", F.col("_c.canonical_id"), F.col("_c.canonical_leader"))
+    )
+    pinned = rest.join(pinned_groups, "group_id").select(
+        "item_uuid",
+        "item_name",
+        "canonical_id",
+        "canonical_leader",
+        F.col("member").alias("canonical_member"),
+        F.lit(0).alias("agent_verified"),
+    )
+    fresh = rest.join(pinned_groups.select("group_id"), "group_id", "left_anti")
+
+    # 3. new canonical entities, ids above current max
+    max_id = catalog.agg(F.coalesce(F.max("canonical_id"), F.lit(0))).collect()[0][0]
+    new_leaders = fresh.select("group_id", "leader").distinct()
+    new_catalog = assign_sequential_ids(
+        new_leaders, ["leader"], "canonical_id", int(max_id) + 1
+    ).select("canonical_id", F.col("leader").alias("canonical_leader"), "group_id")
+    new_links = fresh.join(new_catalog, "group_id").select(
+        "item_uuid",
+        "item_name",
+        "canonical_id",
+        "canonical_leader",
+        F.col("member").alias("canonical_member"),
+        F.lit(0).alias("agent_verified"),
+    )
+
+    out_catalog = catalog.unionByName(new_catalog.drop("group_id"))
+    out_links = (
+        links.unionByName(direct)
+        .unionByName(pinned)
+        .unionByName(new_links)
+        .dropDuplicates(["item_uuid", "canonical_id", "canonical_member"])
+    )
+    return out_catalog, out_links
