@@ -1,0 +1,122 @@
+"""Snapshot catalog: checkpointed stage tables + lineage/metrics manifest.
+
+North-rule requirement: "per-partition lineage and signature/candidate/
+cluster metrics written alongside checkpointed Iceberg snapshots so any
+stage is resumable".
+
+Design: the API is Iceberg-shaped (snapshot id, parent id, append/overwrite,
+time-travelable manifest log) but the sandbox has no Iceberg runtime jar
+(verified: empty pyspark jars grep, SURVEY.md §1.4), so the storage layer is
+plain Parquet directories plus a JSON manifest log with isomorphic fields —
+swapping in Iceberg is a config change (``df.writeTo(table).append()``
+instead of ``df.write.parquet``), not a redesign.
+
+Layout:
+    root/
+      manifest.jsonl         one JSON line per snapshot (append-only log)
+      <stage>/<snapshot_id>/ parquet data for that stage snapshot
+
+Each manifest line:
+    {snapshot_id, parent_id, stage, created_ms, rows, n_partitions,
+     partition_rows: {pid: rows}, metrics: {...}}
+
+``partition_rows`` is the per-partition lineage record (computed with
+``spark_partition_id`` — one count agg, no collect of data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class SnapshotCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.jsonl")
+
+    # -- manifest log -----------------------------------------------------
+
+    def _read_manifest(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append_manifest(self, entry: dict) -> None:
+        with open(self._manifest_path, "a") as f:
+            f.write(json.dumps(entry, sort_keys=True) + "\n")
+
+    def snapshots(self, stage: str | None = None) -> list[dict]:
+        entries = self._read_manifest()
+        if stage is not None:
+            entries = [e for e in entries if e["stage"] == stage]
+        return entries
+
+    def latest(self, stage: str) -> dict | None:
+        entries = self.snapshots(stage)
+        return entries[-1] if entries else None
+
+    def has_stage(self, stage: str) -> bool:
+        return self.latest(stage) is not None
+
+    # -- write / read -----------------------------------------------------
+
+    def write_stage(
+        self, df: DataFrame, stage: str, metrics: dict | None = None
+    ) -> dict:
+        """Persist a stage output as a new snapshot; records per-partition
+        lineage (rows per partition) + caller metrics in the manifest."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        parent = self.latest(stage)
+        path = os.path.join(self.root, stage, snapshot_id)
+        df.write.mode("errorifexists").parquet(path)
+        written = self.spark.read.parquet(path)
+        part_rows = {
+            str(r["_pid"]): r["n"]
+            for r in written.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        entry = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "stage": stage,
+            "created_ms": int(time.time() * 1000),
+            "rows": int(sum(part_rows.values())),
+            "n_partitions": len(part_rows),
+            "partition_rows": part_rows,
+            "metrics": metrics or {},
+            "path": path,
+        }
+        self._append_manifest(entry)
+        return entry
+
+    def read_stage(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
+        if snapshot_id is None:
+            entry = self.latest(stage)
+            if entry is None:
+                raise FileNotFoundError(f"no snapshot for stage {stage!r}")
+        else:
+            matches = [e for e in self.snapshots(stage) if e["snapshot_id"] == snapshot_id]
+            if not matches:
+                raise FileNotFoundError(f"snapshot {snapshot_id!r} not found for {stage!r}")
+            entry = matches[0]
+        return self.spark.read.parquet(entry["path"])
+
+    def get_or_compute(
+        self, stage: str, compute, metrics: dict | None = None, force: bool = False
+    ) -> DataFrame:
+        """Resume point: return the stage's latest snapshot if present,
+        otherwise compute, persist, and return it. ``compute`` is a thunk
+        returning a DataFrame."""
+        if not force and self.has_stage(stage):
+            return self.read_stage(stage)
+        self.write_stage(compute(), stage, metrics)
+        return self.read_stage(stage)

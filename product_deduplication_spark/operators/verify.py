@@ -20,6 +20,38 @@ from pyspark.sql import DataFrame, Window, functions as F
 from product_deduplication_spark.config import DedupConfig
 
 
+def minhash_estimate_prefilter(
+    pairs: DataFrame, features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop candidates whose MinHash-estimated Jaccard is far below the
+    threshold BEFORE shipping full shingle arrays into the verify join.
+
+    Signatures are ~10x smaller than shingle sets (126 longs vs ~1.2k for a
+    web page), so this turns the verify join from O(candidates x set_size)
+    into O(candidates x sig_len) + O(survivors x set_size). The margin makes
+    the drop probability for a true >= threshold pair < 1e-11 (7 sigma at
+    126 hashes) — recall is preserved; exactness (precision) is untouched
+    because survivors still get the exact Jaccard check.
+    """
+    if cfg.prefilter_margin is None:
+        return pairs
+    sig = features.select(F.col(id_col).alias("_sid"), F.col("minhash").alias("_sig"))
+    a = sig.withColumnRenamed("_sid", "src").withColumnRenamed("_sig", "_sig_a")
+    b = sig.withColumnRenamed("_sid", "dst").withColumnRenamed("_sig", "_sig_b")
+    est = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(cfg.num_hashes)
+    cutoff = max(0.0, cfg.jaccard_threshold - cfg.prefilter_margin)
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .where(est >= F.lit(cutoff))
+        .select("src", "dst")
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     features: DataFrame,
@@ -28,6 +60,7 @@ def verify_pairs(
     method: str = "minhash",
 ) -> DataFrame:
     """(src, dst, method, similarity) for pairs with exact Jaccard >= threshold."""
+    pairs = minhash_estimate_prefilter(pairs, features, cfg, id_col)
     feat = features.select(F.col(id_col).alias("_fid"), F.col("shingles").alias("_sh"))
     a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
     b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")

@@ -102,10 +102,12 @@ def test_simhash_close_for_similar_docs():
 
 def test_candidate_probability_scurve():
     cfg = DedupConfig()
-    assert cfg.rows_per_band == 4
-    assert cfg.candidate_probability(0.8) > 0.999
-    assert cfg.candidate_probability(0.6) > 0.98
-    assert cfg.candidate_probability(0.1) < 0.01
+    assert cfg.rows_per_band == 6
+    assert cfg.candidate_probability(0.8) > 0.998
+    assert cfg.candidate_probability(0.9) > 0.99999
+    # background pairs (corpus median ~0.1) essentially never collide
+    assert cfg.candidate_probability(0.15) < 1e-3
+    assert cfg.candidate_probability(0.1) < 1e-4
 
 
 def test_config_validation():
