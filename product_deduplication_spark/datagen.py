@@ -141,6 +141,60 @@ def truth_clusters(truth_pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"url": urls, "cluster_id": [find(u) for u in urls]})
 
 
+_BRANDS = ["coca cola", "pepsi", "fanta", "sprite", "nestle", "kellogs", "heinz",
+           "cadbury", "walkers", "tropicana", "evian", "danone"]
+_PRODUCTS = ["orange juice", "chocolate bar", "crisps", "baked beans", "spring water",
+             "corn flakes", "yogurt", "cola drink", "lemonade", "tomato ketchup"]
+_SIZES = ["330ml", "500ml", "1l", "2l", "250g", "400g", "6 x 330ml", "4 pack", "750ml"]
+
+
+def generate_raw_catalog(n_products: int = 120, seed: int = 42) -> pd.DataFrame:
+    """FIXTURES.md F2: grocery-style raw catalog with the noise classes the
+    reference cleans (case, @tokens, special chars, 'pm 99p' promo suffixes,
+    duplicated uuids) plus injected near-duplicate names (token reorder /
+    light typo) that the reference pipeline should cluster."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    uid = 0
+
+    def noisy(name: str) -> str:
+        r = rng.random()
+        if r < 0.25:
+            name = name.upper()
+        elif r < 0.4:
+            name = name.title()
+        if rng.random() < 0.2:
+            name += " pm 99p"
+        if rng.random() < 0.15:
+            name += " @promo"
+        if rng.random() < 0.15:
+            name = name.replace(" ", " & ", 1)
+        return name
+
+    for _ in range(n_products):
+        base = f"{rng.choice(_BRANDS)} {rng.choice(_PRODUCTS)} {rng.choice(_SIZES)}"
+        n_variants = int(rng.integers(1, 4))
+        for _v in range(n_variants):
+            toks = base.split()
+            if _v > 0 and rng.random() < 0.5:
+                rng.shuffle(toks)  # token reorder: token_sort_ratio-invariant
+            name = noisy(" ".join(toks))
+            rows.append(
+                (
+                    f"uuid-{uid:05d}",
+                    name,
+                    int(rng.integers(0, 5000)),
+                    f"https://img.example/{uid}.jpg" if rng.random() > 0.1 else None,
+                )
+            )
+            uid += 1
+    # duplicated uuids: same uuid, two names (exercises remove_duplication_for_uuid)
+    for i in range(0, min(20, len(rows) - 1), 2):
+        u, name, sold, img = rows[i]
+        rows.append((u, rows[i + 1][1], sold // 2, img))
+    return pd.DataFrame(rows, columns=["item_uuid", "item_name", "number_sku_sold", "image_url"])
+
+
 def wrap_documents(documents_pdf: pd.DataFrame) -> pd.DataFrame:
     """Wrap the driver's documents table (doc_id, text, lang, ...) into the
     input_hint shape (url, warc_ts, html, text, lang)."""

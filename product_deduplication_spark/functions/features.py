@@ -59,6 +59,7 @@ def make_feature_udf(cfg: DedupConfig):
     seeds = hashing.minhash_seeds(cfg.num_hashes, cfg.seed)
     k = cfg.shingle_k
     mode = cfg.shingle_mode
+    minhash_mode = cfg.minhash_mode
 
     @pandas_udf(FEATURE_SCHEMA)
     def features(text: pd.Series) -> pd.DataFrame:
@@ -67,7 +68,10 @@ def make_feature_udf(cfg: DedupConfig):
             shingle_sets = [hashing.char_shingle_hashes(t, k) for t in texts]
         else:
             shingle_sets = [hashing.token_ngram_hashes(t, k) for t in texts]
-        sig = hashing.minhash_signatures(shingle_sets, seeds)
+        if minhash_mode == "oph":
+            sig = hashing.oph_signatures(shingle_sets, seeds)
+        else:
+            sig = hashing.minhash_signatures(shingle_sets, seeds)
         tok = hashing.token_hashes_batch(texts)
         sh = hashing.simhash64(tok)
         return pd.DataFrame(

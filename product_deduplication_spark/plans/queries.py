@@ -502,6 +502,83 @@ def q_simhash_candidates(spark, sf):
     return simhash_candidate_pairs(feats, cfg).select("src", "dst")
 
 
+def q_sequential_ids(spark, sf):
+    """§4.4 gap-free sequential id assignment (reference/clean_canonical.py:
+    47-50) via the range-partitioned two-pass — must equal a global
+    row_number() without ever using a single-partition window."""
+    from product_deduplication_spark.operators.canonical import assign_sequential_ids
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    return assign_sequential_ids(c, ["c_custkey"], "seq_id", start=1)
+
+
+def q_winner_scoring(spark, sf):
+    """V9 winner scoring (reference/winner_selection.py:25-86): weighted
+    completeness + guarded incorrect-scan rate + z-score blend, on an
+    inline deterministic fixture (same rows as the SQL VALUES oracle)."""
+    from product_deduplication_spark.operators.winner import score_entities
+
+    rows = [
+        ("e1", *([1] * 14), 10, 8, 2, 10),
+        ("e2", *([0] * 14), 2, 1, 1, 2),
+        ("e3", *([1] * 7 + [0] * 7), 100, 90, 10, 6),
+        ("e4", *([0] * 7 + [1] * 7), 3, 0, 3, 4),
+    ]
+    from product_deduplication_spark.operators.winner import ATTRIBUTE_WEIGHTS
+
+    schema = (
+        "entity_uuid string, "
+        + ", ".join(f"{c} int" for c in ATTRIBUTE_WEIGHTS)
+        + ", scans int, correct_scans int, incorrect_scans int, linked_products int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    return score_entities(df).select("entity_uuid", F.round("score", 6).alias("score"))
+
+
+def q_normalize_reference_chain(spark, sf):
+    """P3/P5/P6/P10 reference normalize chain (reference/static.py:24-56)
+    over part names — lower/trim, special-char strip, token re-join."""
+    from product_deduplication_spark.functions.normalize import normalize_names
+
+    p = _t(spark, sf, "part").select(
+        "p_partkey", F.col("p_name").alias("item_name")
+    )
+    return normalize_names(p, "item_name").select("p_partkey", "product_name")
+
+
+def q_substring_containment(spark, sf):
+    """Exact substring dedup (winnow → candidates → byte verify) over
+    documents (north_star suffix-array stage; rows-only check)."""
+    from product_deduplication_spark.operators.substring import substring_duplicate_edges
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    cfg = DedupConfig(shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
+    return substring_duplicate_edges(d, cfg).select("src", "dst", "similarity")
+
+
+def q_ann_topk(spark, sf):
+    """LSH-bucketed ANN over embeddings (rows-only; exactness of the cos
+    values is cross-checked against knn_cosine in tests)."""
+    from product_deduplication_spark.operators.knn import ann_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ann_topk(q, e, k=5, dim=64, n_bits=4, n_tables=16)
+
+
+def q_grocery_parity_clusters(spark, sf):
+    """The reference EP1 grocery pipeline end-to-end on a deterministic
+    synthetic catalog (rows-only; parity vs the pandas oracle is gated in
+    tests/test_parity.py)."""
+    from product_deduplication_spark.datagen import generate_raw_catalog
+    from product_deduplication_spark.parity import grocery_dedup
+
+    raw = spark.createDataFrame(generate_raw_catalog(n_products=40, seed=7))
+    return grocery_dedup(raw)
+
+
 # --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
@@ -542,6 +619,12 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_candidates": q_simhash_candidates,
+    "sequential_ids": q_sequential_ids,
+    "winner_scoring": q_winner_scoring,
+    "normalize_reference_chain": q_normalize_reference_chain,
+    "substring_containment": q_substring_containment,
+    "ann_topk": q_ann_topk,
+    "grocery_parity_clusters": q_grocery_parity_clusters,
 }
 
 _STOP_LIST_SQL = "('the','a','of','and','to','in','is','on','for','with')"
@@ -772,6 +855,63 @@ ORACLES = {
             FROM pairs)
         WHERE rk <= 5
     """,
-    # minhash_dedup_clusters / simhash_candidates: non-SQL-expressible
-    # (iterative CC, LSH banding) — rows-only driver check by design.
+    "sequential_ids": """
+        SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS seq_id
+        FROM customer
+    """,
+    "winner_scoring": """
+        WITH s(entity_uuid, has_name, has_image, has_upt, has_gtin, has_net_qty,
+               has_pack_size, has_func_name, has_brand, has_container, has_weight,
+               has_dimensions, has_abv, has_description, has_vintage,
+               scans, correct_scans, incorrect_scans, linked_products) AS (
+            VALUES
+              ('e1',1,1,1,1,1,1,1,1,1,1,1,1,1,1, 10,8,2,10),
+              ('e2',0,0,0,0,0,0,0,0,0,0,0,0,0,0, 2,1,1,2),
+              ('e3',1,1,1,1,1,1,1,0,0,0,0,0,0,0, 100,90,10,6),
+              ('e4',0,0,0,0,0,0,0,1,1,1,1,1,1,1, 3,0,3,4)
+        ),
+        calc AS (
+            SELECT entity_uuid,
+                   has_name*CAST(0.12 AS DOUBLE) + has_image*CAST(0.12 AS DOUBLE)
+                 + has_upt*CAST(0.10 AS DOUBLE) + has_gtin*CAST(0.10 AS DOUBLE)
+                 + has_net_qty*CAST(0.09 AS DOUBLE) + has_pack_size*CAST(0.08 AS DOUBLE)
+                 + has_func_name*CAST(0.07 AS DOUBLE) + has_brand*CAST(0.07 AS DOUBLE)
+                 + has_container*CAST(0.07 AS DOUBLE) + has_weight*CAST(0.06 AS DOUBLE)
+                 + has_dimensions*CAST(0.05 AS DOUBLE) + has_abv*CAST(0.03 AS DOUBLE)
+                 + has_description*CAST(0.03 AS DOUBLE) + has_vintage*CAST(0.01 AS DOUBLE)
+                   AS att,
+                   CASE WHEN scans > 3
+                        THEN round(incorrect_scans * CAST(1.0 AS DOUBLE) / scans, 2)
+                        ELSE CAST(0 AS DOUBLE) END AS inc_rate,
+                   CAST(linked_products AS DOUBLE) AS linked
+            FROM s),
+        stats AS (SELECT avg(linked) AS mu, stddev_samp(linked) AS sd FROM calc)
+        SELECT entity_uuid,
+               round(att*0.6 + inc_rate*0.2 + round((linked-mu)/sd, 2)*0.2, 6) AS score
+        FROM calc, stats
+    """,
+    "normalize_reference_chain": r"""
+        WITH cleaned AS (
+            SELECT p_partkey,
+                   regexp_replace(lower(trim(p_name)),
+                                  '(@[A-Za-z0-9]+)|([^0-9A-Za-z.% \t])', '', 'g') AS n1
+            FROM part
+        ),
+        joined AS (
+            SELECT p_partkey,
+                   array_to_string(list_filter(string_split_regex(n1, '\s+'),
+                                   w -> w != '.' AND w != ''), ' ') AS n2
+            FROM cleaned
+        )
+        SELECT p_partkey,
+               regexp_replace(n2,
+                 '(pm \d+\w+)|(pm \d+\.\d+)|(pm\d+\.\d+)|(\d+ pmp)|(pm\d+)|( \.+)|(pmp\d+.\d+)|(\d+pmp)|(pmp \d+)|(\d+.\d+ pm)',
+                 '', 'g') AS product_name
+        FROM joined
+    """,
+    # minhash_dedup_clusters / simhash_candidates / substring_containment /
+    # ann_topk / grocery_parity_clusters: non-SQL-expressible (iterative CC,
+    # LSH banding, winnowing, driver-loop) — rows-only driver check by
+    # design; their correctness gates live in tests/ (oracle parity, recall,
+    # ANN-vs-bruteforce).
 }

@@ -1,0 +1,52 @@
+"""Incremental dedup == full recompute on the union (the invariant that
+makes snapshot-incremental processing trustworthy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_deduplication_spark.catalog import SnapshotCatalog
+from product_deduplication_spark.config import DedupConfig
+from product_deduplication_spark.datagen import generate_web_documents
+from product_deduplication_spark.oracle.brute_force import clusters_to_pairs
+from product_deduplication_spark.pipeline import run_dedup
+from product_deduplication_spark.streaming.incremental import incremental_dedup
+
+CFG = DedupConfig(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs, _ = generate_web_documents(n_base_docs=120, seed=21)
+    half = len(docs) // 2
+    return docs.iloc[:half], docs.iloc[half:], docs
+
+
+def _partition_pairs(rows):
+    labels = {r["url"]: r["cluster_id"] for r in rows}
+    return clusters_to_pairs(labels)
+
+
+def test_incremental_equals_full_recompute(spark, tmp_path, corpus):
+    batch1, batch2, full = corpus
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc"))
+    c1 = incremental_dedup(spark, cat, spark.createDataFrame(batch1[["url", "text"]]), CFG)
+    assert c1.count() == len(batch1)
+    c2 = incremental_dedup(spark, cat, spark.createDataFrame(batch2[["url", "text"]]), CFG)
+    assert c2.count() == len(full)
+    full_res = run_dedup(spark.createDataFrame(full[["url", "text"]]), CFG)
+    inc_pairs = _partition_pairs(c2.collect())
+    full_pairs = _partition_pairs(full_res.clusters.select("url", "cluster_id").collect())
+    assert inc_pairs == full_pairs
+
+
+def test_incremental_idempotent_on_resubmission(spark, tmp_path, corpus):
+    batch1, _, _ = corpus
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc2"))
+    c1 = incremental_dedup(spark, cat, spark.createDataFrame(batch1[["url", "text"]]), CFG)
+    n1 = c1.count()
+    p1 = _partition_pairs(c1.collect())
+    # resubmit the SAME batch: no growth, same partitions
+    c2 = incremental_dedup(spark, cat, spark.createDataFrame(batch1[["url", "text"]]), CFG)
+    assert c2.count() == n1
+    assert _partition_pairs(c2.collect()) == p1

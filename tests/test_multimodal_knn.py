@@ -1,0 +1,80 @@
+"""Multimodal plumbing + ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from product_deduplication_spark.operators.knn import ann_topk, brute_force_topk
+from product_deduplication_spark.operators.multimodal import (
+    DecodeBackend,
+    exact_media_dedup,
+    extract_media_features,
+    repartition_by_bytes,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [("u1", "same text payload"), ("u2", "same text payload"), ("u3", "different")],
+        "url string, text string",
+    )
+    return synthesize_media(docs)
+
+
+def test_media_schema_and_features(media):
+    feats = extract_media_features(media).collect()
+    by_url = {r["doc_url"]: r for r in feats}
+    assert len(by_url) == 3
+    # deterministic stub: identical payloads -> identical hash AND feature
+    assert by_url["u1"]["payload_sha256"] == by_url["u2"]["payload_sha256"]
+    assert by_url["u1"]["feature"] == by_url["u2"]["feature"]
+    assert by_url["u1"]["feature"] != by_url["u3"]["feature"]
+    assert by_url["u1"]["payload_bytes"] == len(b"same text payload")
+    # unit-norm feature
+    import math
+
+    assert math.isclose(sum(x * x for x in by_url["u3"]["feature"]), 1.0, rel_tol=1e-3)
+
+
+def test_media_exact_dedup(media):
+    feats = extract_media_features(media)
+    edges = exact_media_dedup(feats).collect()
+    assert len(edges) == 1
+    assert {edges[0]["src"], edges[0]["dst"]} == {"u1", "u2"}
+
+
+def test_strict_backend_raises(media):
+    import py4j
+
+    with pytest.raises(Exception) as exc:
+        extract_media_features(media, DecodeBackend(strict=True)).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, py4j.protocol.Py4JJavaError
+    )
+
+
+def test_repartition_by_bytes(media):
+    out = repartition_by_bytes(media, target_bytes=16)
+    assert out.count() == 3
+    assert out.rdd.getNumPartitions() >= 3
+
+
+def test_ann_matches_bruteforce_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 8")
+    bf = brute_force_topk(queries, emb, k=5)
+    # moderate-cosine neighbors (unnormalized gaussian-ish clusters) need
+    # few bits + many tables: P(collide | cos=0.5) = 1-(1-(2/3)^4)^16 = 0.97
+    ann = ann_topk(queries, emb, k=5, dim=64, n_bits=4, n_tables=16)
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    assert recall >= 0.85, recall
+    # every ANN cos value must equal the exact cosine (re-rank is exact)
+    bf_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in bf.collect()}
+    for r in ann.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_cos:
+            assert abs(bf_cos[key] - r["cos"]) < 1e-9
