@@ -147,24 +147,26 @@ spark.stop()
     raise RuntimeError(f"scaling child ({cores} cores) failed:\n{out.stderr[-3000:]}")
 
 
+def _alu_probe(_):
+    import numpy as np
+
+    x = np.arange(200_000, dtype=np.uint64)
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < 4:
+        x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(12345)
+        x ^= x >> np.uint64(29)
+        it += 1
+    return it * x.size / (time.perf_counter() - t0)
+
+
 def _alu_ceiling(cores_pairs=((2, 8), (8, 32))) -> dict:
     """Host-throttling control: a pure-ALU, L2-resident numpy loop has no
     shuffle, no GIL contention, no memory-bandwidth pressure — its
     multi-process scaling is the CEILING this host permits any workload."""
     import multiprocessing as mp
 
-    def alu(_):
-        import numpy as np
-
-        x = np.arange(200_000, dtype=np.uint64)
-        t0 = time.perf_counter()
-        it = 0
-        while time.perf_counter() - t0 < 4:
-            x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(12345)
-            x ^= x >> np.uint64(29)
-            it += 1
-        return it * x.size / (time.perf_counter() - t0)
-
+    alu = _alu_probe
     levels = sorted({c for pair in cores_pairs for c in pair})
     rate = {}
     for n in levels:

@@ -56,6 +56,24 @@ _REG_IN = r"(\d+ in \d+)"
 PACKAGE_RE = _REG_PROMOS + _REG_PACK + _REG_PIECES + _REG_SIZES + _REG_MED + _REG_IN
 
 
+def title_case(df: DataFrame, col: str, out: str, pandas_semantics: bool = False) -> DataFrame:
+    """P4 presentation title-casing (reference/clean_canonical.py:57-65).
+
+    ``initcap`` capitalizes after whitespace; pandas ``str.title()``
+    capitalizes after ANY non-alpha ("coca-cola" → "Coca-Cola"). The engine
+    default is initcap (JVM-side); ``pandas_semantics=True`` reproduces
+    str.title() via regex for parity runs.
+    """
+    if not pandas_semantics:
+        return df.withColumn(out, F.initcap(F.col(col)))
+
+    @pandas_udf(T.StringType())
+    def _title(s: pd.Series) -> pd.Series:
+        return s.str.title()
+
+    return df.withColumn(out, _title(F.col(col)))
+
+
 def clean_text_cols(df: DataFrame, col: str, out: str) -> DataFrame:
     """static.py:24-30: lower/strip → drop nulls → strip special chars."""
     lowered = F.lower(F.trim(F.col(col)))
