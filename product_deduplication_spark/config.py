@@ -81,5 +81,6 @@ class DedupConfig:
         return 1.0 - (1.0 - s**r) ** self.lsh_bands
 
 
-PARITY_CONFIG = DedupConfig(candidate_cap_per_doc=25)
-"""Reference-parity config: top-25 candidate cap per reference/static.py:194."""
+# The grocery-parity LSH config (char-3 shingles, 42x3 banding) lives in
+# parity.PARITY_CONFIG next to the pipeline that uses it; the reference's
+# top-25 candidate cap (reference/static.py:194) is `candidate_cap_per_doc`.

@@ -60,9 +60,13 @@ def candidate_pairs(features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id
     precision here is irrelevant, only recall matters.
     """
     bands = explode_bands(features, cfg, id_col)
-    # salt: spread hot band_hash keys across partitions before aggregating
-    bands = bands.repartition(cfg.shuffle_partitions, "band", "band_hash", "node")
 
+    # Skew note: no explicit pre-shuffle salting is needed for these aggs —
+    # count/min are algebraic, so Spark partial-aggregates them map-side and
+    # a hot (band, band_hash) key reaches the reducer as one row per map
+    # task, never as raw rows. (An earlier version repartitioned by
+    # (band, band_hash, node) first — a full extra shuffle that groupBy
+    # immediately re-shuffled away.)
     sizes = bands.groupBy("band", "band_hash").agg(
         F.count("*").alias("bucket_n"), F.min("node").alias("hub")
     )

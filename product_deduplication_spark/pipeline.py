@@ -71,6 +71,51 @@ def pick_winners(clusters: DataFrame) -> DataFrame:
     return clusters.withColumn("is_winner", F.row_number().over(w) == 1)
 
 
+def clusters_to_groups(clusters: DataFrame) -> DataFrame:
+    """Reshape cluster assignments into the reference's groups-table shape
+    (group_id, leader, member, item_uuid, item_name) —
+    ``reference/groups_creation.py:292-294`` — so the canonical upsert
+    (operators/canonical.py) consumes webtext clusters unchanged."""
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("is_winner"), F.asc("url"))
+    return clusters.select(
+        F.col("cluster_id").alias("group_id"),
+        F.first("url").over(w).alias("leader"),
+        F.col("url").alias("member"),
+        F.col("url").alias("item_uuid"),
+        F.col("url").alias("item_name"),
+    )
+
+
+def run_full(
+    df: DataFrame,
+    catalog,
+    cfg: DedupConfig | None = None,
+    use_simhash: bool = False,
+):
+    """Dedup + persistent canonical lifecycle in one call: run the pipeline,
+    then bootstrap or upsert the canonical tables through the snapshot
+    catalog (the reference's first-run/incremental branch,
+    ``reference/clean_canonical.py:296-338``). Returns (DedupResult,
+    canonical_catalog, canonical_links)."""
+    from product_deduplication_spark.operators.canonical import (
+        bootstrap_canonical,
+        upsert_canonical,
+    )
+
+    cfg = cfg or DedupConfig()
+    res = run_dedup(df, cfg, use_simhash=use_simhash)
+    groups = clusters_to_groups(res.clusters)
+    if catalog.has_stage("canonical_catalog"):
+        cat_df = catalog.read_stage("canonical_catalog")
+        links_df = catalog.read_stage("canonical_links")
+        cat_df, links_df = upsert_canonical(cat_df, links_df, groups)
+    else:
+        cat_df, links_df = bootstrap_canonical(groups)
+    catalog.write_stage(cat_df, "canonical_catalog")
+    catalog.write_stage(links_df, "canonical_links")
+    return res, catalog.read_stage("canonical_catalog"), catalog.read_stage("canonical_links")
+
+
 def run_dedup(
     df: DataFrame,
     cfg: DedupConfig | None = None,
