@@ -159,8 +159,18 @@ def propagate_images(relations: DataFrame, images_wide: DataFrame, n_slots: int 
 
     ``reference/agg_images.py``: wide image_1..n / image_source_1..n →
     unpivot (``:27-37``), '\\N' sentinel → null (``:36,76``), third-party-
-    approved sources win (``:40,80-81``), then first non-null by slot order.
-    Output: (winner_entity_uuid, image_url, image_source).
+    approved sources win (``:40,80-81``).
+
+    The reference runs a three-way case analysis (winner already 3P → no
+    update; loser has 3P → '3p from loser', ``:94-98``; winner imageless and
+    loser has any image → 'Adds image', ``:101-105``). A single rank window
+    ordered (is_3p_approved desc, winner-side first, slot asc) selects the
+    same final image in every case: winner-3P beats loser images; loser-3P
+    beats winner-non-3P; winner-non-3P beats loser-non-3P (= no update);
+    loser image fills an imageless winner. Output: one best
+    (winner_entity_uuid, image_url, image_source) per winner — the
+    reference instead copies all slots of ONE arbitrarily-chosen loser
+    (``:115-116``); the winning image is identical, the row shape is not.
     """
     rel = _dedup_relations(relations)
     long_rows = images_wide.select(
