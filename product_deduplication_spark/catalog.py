@@ -98,6 +98,18 @@ class SnapshotCatalog:
         self._append_manifest(entry)
         return entry
 
+    def read_stage_union(self, stage: str) -> DataFrame:
+        """Union of ALL snapshots of a delta stage (each snapshot holds only
+        the rows added by one batch). This is the read path for append-only
+        stages like incremental features/docs: at 10^12 docs a batch writes
+        its delta and readers union the snapshot list — never a full rewrite.
+        (Iceberg analog: reading the table = union of all appended data
+        files; here the manifest log plays the manifest-list role.)"""
+        entries = self.snapshots(stage)
+        if not entries:
+            raise FileNotFoundError(f"no snapshot for stage {stage!r}")
+        return self.spark.read.parquet(*[e["path"] for e in entries])
+
     def read_stage(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
         if snapshot_id is None:
             entry = self.latest(stage)

@@ -14,6 +14,8 @@ randomness — required for the byte-identical / deterministic invariants
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -22,10 +24,22 @@ _MIX2 = np.uint64(0x94D049BB133111EB)
 _FNV_PRIME = np.uint64(1099511628211)
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-# numpy integer overflow wraparound is intended everywhere in this module
-_err = np.seterr(over="ignore")
+
+def _wraparound(fn):
+    """uint64 overflow wraparound is intended inside these kernels; scope the
+    numpy error state to the call instead of mutating it process-wide at
+    import (which would mask genuine overflow warnings in user UDF code
+    running in the same Python worker)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with np.errstate(over="ignore"):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
+@_wraparound
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer — a strong 64-bit bijective mixer (public domain
     constant set, Steele et al.). Vectorized over a uint64 array."""
@@ -39,6 +53,7 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+@_wraparound
 def hash_bytes(data: bytes) -> int:
     """FNV-1a-style 64-bit hash of a byte string (scalar, deterministic)."""
     h = np.uint64(0xCBF29CE484222325)
@@ -49,6 +64,7 @@ def hash_bytes(data: bytes) -> int:
     return int(splitmix64(np.array([h], dtype=np.uint64))[0])
 
 
+@_wraparound
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct 64-bit hashes of all k-byte shingles of ``text`` (UTF-8).
 
@@ -72,6 +88,7 @@ def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(splitmix64(h))
 
 
+@_wraparound
 def token_hashes_batch(texts: list[str]) -> list[np.ndarray]:
     """64-bit hash per whitespace token for a WHOLE batch of docs at once.
 
@@ -120,6 +137,7 @@ def token_hashes(text: str) -> np.ndarray:
     return token_hashes_batch([text])[0]
 
 
+@_wraparound
 def token_ngram_hashes(text: str, n: int) -> np.ndarray:
     """Distinct hashes of word n-gram shingles (token mode)."""
     th = token_hashes(text)
@@ -150,6 +168,7 @@ def minhash_seeds(num_hashes: int, seed: int) -> np.ndarray:
     return np.stack([a, b])
 
 
+@_wraparound
 def _splitmix64_inplace(z: np.ndarray, scratch: np.ndarray) -> None:
     """SplitMix64 finalizer computed fully in place (z and one scratch
     buffer) — avoids the temporary-array allocation churn that dominates
@@ -165,6 +184,7 @@ def _splitmix64_inplace(z: np.ndarray, scratch: np.ndarray) -> None:
     z ^= scratch
 
 
+@_wraparound
 def minhash_signatures(shingle_arrays: list[np.ndarray], seeds: np.ndarray) -> np.ndarray:
     """MinHash signatures for a batch of shingle-hash sets.
 
@@ -222,6 +242,7 @@ def minhash_signatures(shingle_arrays: list[np.ndarray], seeds: np.ndarray) -> n
     return sig.view(np.int64)
 
 
+@_wraparound
 def oph_signatures(
     shingle_arrays: list[np.ndarray], seeds: np.ndarray, num_bins: int | None = None
 ) -> np.ndarray:
@@ -304,6 +325,7 @@ def oph_signatures(
     return sig.view(np.int64)
 
 
+@_wraparound
 def simhash64(token_hash_arrays: list[np.ndarray]) -> np.ndarray:
     """64-bit SimHash per doc from (term-frequency-weighted) token hashes.
 

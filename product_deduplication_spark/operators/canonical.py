@@ -43,6 +43,11 @@ def assign_sequential_ids(
     ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # Pin the partitioning: the counts action and the id-assignment action
+    # must see the SAME partition contents (range boundaries come from
+    # sampling — recomputing the upstream between the two jobs could move
+    # rows across partitions and duplicate/skip ids).
+    ranged = ranged.localCheckpoint()
     counts = ranged.groupBy("_pid").count().collect()
     offsets = {}
     acc = start
@@ -107,7 +112,7 @@ def upsert_canonical(
     ).dropDuplicates(["member"])
 
     # 1. direct matches
-    direct = groups.join(F.broadcast(member_index), "member", "inner").select(
+    direct = groups.join(member_index, "member", "inner").select(
         "item_uuid",
         "item_name",
         "canonical_id",
@@ -115,7 +120,7 @@ def upsert_canonical(
         F.col("member").alias("canonical_member"),
         F.lit(0).alias("agent_verified"),
     )
-    rest = groups.join(F.broadcast(member_index), "member", "left_anti")
+    rest = groups.join(member_index, "member", "left_anti")
 
     # 2. leader pinning: group contains an existing canonical leader.
     # Detected over the FULL group membership (not just `rest`): a group
@@ -125,7 +130,7 @@ def upsert_canonical(
     leader_index = catalog.select(
         F.col("canonical_leader").alias("member"), "canonical_id", "canonical_leader"
     )
-    pinned_candidates = groups.join(F.broadcast(leader_index), "member", "inner")
+    pinned_candidates = groups.join(leader_index, "member", "inner")
     pinned_groups = (
         pinned_candidates.groupBy("group_id")
         .agg(F.min(F.struct("canonical_id", "canonical_leader")).alias("_c"))

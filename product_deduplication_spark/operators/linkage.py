@@ -45,7 +45,7 @@ def direct_barcode_matches(
     — the back door (``match_barcode.py:139-166``)."""
     lk = links.select("item_name", "canonical_id", "canonical_leader").dropDuplicates()
     matched = (
-        lk.join(F.broadcast(ean_table.select("item_name", "ean")), "item_name")
+        lk.join(ean_table.select("item_name", "ean"), "item_name")
         .select("canonical_id", "canonical_leader", "ean")
         .dropDuplicates(["canonical_id"])
     )
@@ -70,7 +70,7 @@ def match_barcodes_to_canonical(
     # 2. direct matches leave the similarity set
     direct = direct_barcode_matches(clean.select(F.col("item_name"), "ean"), links)
     rest_catalog = catalog.join(
-        F.broadcast(direct.select("canonical_id")), "canonical_id", "left_anti"
+        direct.select("canonical_id"), "canonical_id", "left_anti"
     ).withColumn("leader_norm", F.lower(F.trim("canonical_leader")))
 
     # 3. similarity candidates over the unioned name space
@@ -90,8 +90,8 @@ def match_barcodes_to_canonical(
     p = (
         sym.join(nm.withColumnRenamed("doc_id", "src").withColumnRenamed("name", "canon_name"), "src")
         .join(nm.withColumnRenamed("doc_id", "dst").withColumnRenamed("name", "ean_name"), "dst")
-        .join(F.broadcast(left_names.withColumnRenamed("name", "canon_name")), "canon_name", "left_semi")
-        .join(F.broadcast(right_names.withColumnRenamed("name", "ean_name")), "ean_name", "left_semi")
+        .join(left_names.withColumnRenamed("name", "canon_name"), "canon_name", "left_semi")
+        .join(right_names.withColumnRenamed("name", "ean_name"), "ean_name", "left_semi")
     )
     # identical names appear once in the unioned LSH space so no src<dst
     # pair forms — the reference relies on the cosine matrix diagonal for
@@ -122,15 +122,15 @@ def match_barcodes_to_canonical(
     ean_map = clean.select(F.col("product_name").alias("ean_name"), "ean").dropDuplicates(
         ["ean_name"]
     )
-    matched_sim = best.join(F.broadcast(ean_map), "ean_name").select(
+    matched_sim = best.join(ean_map, "ean_name").select(
         F.col("canon_name").alias("leader_norm"), "ean"
     )
 
     # 5. attach: direct matches + similarity matches + unmatched NULL
-    out_direct = catalog.join(F.broadcast(direct.select("canonical_id", "ean")), "canonical_id", "left")
+    out_direct = catalog.join(direct.select("canonical_id", "ean"), "canonical_id", "left")
     out = (
         out_direct.withColumn("leader_norm", F.lower(F.trim("canonical_leader")))
-        .join(F.broadcast(matched_sim.withColumnRenamed("ean", "_sim_ean")), "leader_norm", "left")
+        .join(matched_sim.withColumnRenamed("ean", "_sim_ean"), "leader_norm", "left")
         .withColumn("ean", F.coalesce(F.col("ean"), F.col("_sim_ean")))
         .drop("leader_norm", "_sim_ean")
     )

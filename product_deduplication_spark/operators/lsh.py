@@ -15,13 +15,31 @@ Skew strategy (SURVEY.md §4.1):
      JVM higher-order functions (transform+slice over the sorted member
      array) — no Python, no per-row UDF.
   3. HOT buckets (boilerplate pages: one band hash shared by millions) are
-     star-connected through their min-id member: O(n) edges instead of
-     O(n^2), same connectivity after verification for true duplicates, and
-     the groupBy producing the hub is a plain min() agg that partial-
-     aggregates map-side — the hot key never concentrates rows on one
-     reducer.
-  4. ``salt`` repartitioning before the bucket agg spreads a hot band-hash
-     across ``shuffle_partitions`` map tasks (AQE skew-join handles the rest).
+     **re-banded with secondary hashes** — each hot member is re-keyed by
+     (hot band, every LATER band's hash), splitting the hot bucket into
+     sub-buckets. Sub-buckets small enough enumerate pairs exactly, which
+     gives the guarantee: *any pair agreeing on >= 2 bands is enumerated*
+     (if its smallest agreeing band is hot, the (i, j) sub-bucket finds it;
+     if any agreeing band is non-hot, the normal path finds it). So
+     connectivity no longer hinges on the min-id hub being a verifiable
+     duplicate of every member; the residual miss is pairs whose ONLY
+     collision anywhere is a single hot band (P ~ Binomial tail at the
+     recall-gated config, covered by the hub-star backstop).
+  4. Sub-buckets that are STILL hot (e.g. 10^6 byte-identical boilerplate
+     pages: identical signature → identical secondary hash) star through
+     their min-id hub: O(n) edges, and because a still-hot *sub*-bucket
+     means members share two independent bands, the hub is overwhelmingly a
+     true duplicate — the star verifies. The groupBy producing the hub is a
+     plain min() agg that partial-aggregates map-side; the hot key never
+     concentrates rows on one reducer.
+
+Delta mode (``delta_ids``): restrict candidate generation to pairs touching
+a given set of new documents — only buckets containing >= 1 new doc are
+considered, and only (new, any) pairs are emitted. This turns an
+incremental batch from full-corpus cost into delta cost
+(streaming/incremental.py); bootstrap passes delta_ids=None (all pairs).
+Inductive completeness: every (a, b) pair is emitted by the batch that adds
+the younger of a, b.
 
 Band hashes are computed JVM-side with xxhash64 over signature slices —
 whole-stage codegen, no Python round trip.
@@ -53,48 +71,139 @@ def explode_bands(features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id")
     )
 
 
-def candidate_pairs(features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+def _pairs_from_member_arrays(buckets: DataFrame) -> DataFrame:
+    """Enumerate (src < dst) pairs from a bucket relation with an ``ids``
+    column of sorted struct(node, is_new) members, keeping only pairs where
+    at least one side is new. Pure JVM higher-order functions."""
+    ids = F.col("ids")
+    pair_struct = F.transform(
+        ids,
+        lambda x, i: F.filter(
+            F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    x["node"].alias("src"),
+                    y["node"].alias("dst"),
+                    (x["is_new"] | y["is_new"]).alias("keep"),
+                ),
+            ),
+            lambda s: s["keep"],
+        ),
+    )
+    return (
+        buckets.select(F.explode(F.flatten(pair_struct)).alias("p"))
+        .select(F.col("p.src"), F.col("p.dst"))
+    )
+
+
+def candidate_pairs(
+    features: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    delta_ids: DataFrame | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (src < dst) from LSH band collisions.
 
     Returns (src, dst). Verification (exact Jaccard) happens downstream —
     precision here is irrelevant, only recall matters.
+
+    ``delta_ids``: optional one-column DataFrame of node ids considered
+    "new"; when given, only pairs with at least one new side are produced
+    (incremental batches — see module docstring).
     """
     bands = explode_bands(features, cfg, id_col)
+
+    if delta_ids is None:
+        bands = bands.withColumn("is_new", F.lit(True))
+    else:
+        new_nodes = (
+            delta_ids.select(F.col(delta_ids.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_n", F.lit(True))
+        )
+        bands = bands.join(new_nodes, "node", "left").withColumn(
+            "is_new", F.coalesce(F.col("_n"), F.lit(False))
+        ).drop("_n")
+        # only buckets touching the delta can emit a (new, any) pair
+        touched = bands.where("is_new").select("band", "band_hash").distinct()
+        bands = bands.join(touched, ["band", "band_hash"], "left_semi")
 
     # Skew note: no explicit pre-shuffle salting is needed for these aggs —
     # count/min are algebraic, so Spark partial-aggregates them map-side and
     # a hot (band, band_hash) key reaches the reducer as one row per map
-    # task, never as raw rows. (An earlier version repartitioned by
-    # (band, band_hash, node) first — a full extra shuffle that groupBy
-    # immediately re-shuffled away.)
+    # task, never as raw rows. min(struct(node, is_new)) gives the hub id
+    # AND whether the hub itself is new in one agg.
     sizes = bands.groupBy("band", "band_hash").agg(
-        F.count("*").alias("bucket_n"), F.min("node").alias("hub")
+        F.count("*").alias("bucket_n"),
+        F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_hub"),
     )
     keyed = bands.join(sizes.where(F.col("bucket_n") > 1), ["band", "band_hash"])
 
     small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
     big = keyed.where(F.col("bucket_n") > cfg.bucket_cap)
 
-    # small buckets: full pair enumeration via sorted member array + HOFs
+    # small buckets: full (new-touching) pair enumeration via sorted member
+    # array + HOFs — array_sort on struct orders by node, so src < dst
     small_buckets = small.groupBy("band", "band_hash").agg(
-        F.array_sort(F.collect_list("node")).alias("ids")
+        F.array_sort(F.collect_list(F.struct("node", "is_new"))).alias("ids")
     )
-    ids = F.col("ids")
-    pair_struct = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("src"), y.alias("dst")),
-        ),
-    )
-    small_pairs = (
-        small_buckets.select(F.explode(F.flatten(pair_struct)).alias("p"))
-        .select(F.col("p.src"), F.col("p.dst"))
-    )
+    small_pairs = _pairs_from_member_arrays(small_buckets)
 
-    # hot buckets: star through the min-id hub (skew-safe, O(n) edges)
-    big_pairs = big.where(F.col("node") != F.col("hub")).select(
-        F.col("hub").alias("src"), F.col("node").alias("dst")
+    # hot buckets: secondary re-banding — re-key each hot member by every
+    # LATER band's hash ((i, j) with j > i covers each unordered band pair
+    # once). The join back to the per-doc band array touches only hot-bucket
+    # members, and the groupBys below are algebraic (map-side partials), so
+    # a mega-hot bucket never concentrates raw rows on one reducer.
+    arrs = features.select(
+        F.col(id_col).alias("node"), band_hash_array(cfg).alias("_bh")
     )
+    big2 = (
+        big.join(arrs, "node")
+        .select(
+            "band",
+            "band_hash",
+            "node",
+            "is_new",
+            F.posexplode("_bh").alias("band2", "band2_hash"),
+        )
+        .where(F.col("band2") > F.col("band"))
+    )
+    sub_sizes = big2.groupBy("band", "band_hash", "band2", "band2_hash").agg(
+        F.count("*").alias("sub_n"),
+        F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_sub_hub"),
+    )
+    sub_keyed = big2.join(
+        sub_sizes.where(F.col("sub_n") > 1),
+        ["band", "band_hash", "band2", "band2_hash"],
+    )
+    sub_small_buckets = (
+        sub_keyed.where(F.col("sub_n") <= cfg.bucket_cap)
+        .groupBy("band", "band_hash", "band2", "band2_hash")
+        .agg(F.array_sort(F.collect_list(F.struct("node", "is_new"))).alias("ids"))
+    )
+    sub_small_pairs = _pairs_from_member_arrays(sub_small_buckets)
 
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["src", "dst"])
+    # still-hot sub-buckets (members agree on TWO independent bands — near-
+    # certainly true duplicates): star through the min-id hub, O(n) edges.
+    # Emit (hub, node) for new nodes, plus (hub, everyone) when the hub
+    # itself is new (a new min-id doc must still reach the old members).
+    sub_hot = sub_keyed.where(F.col("sub_n") > cfg.bucket_cap)
+    sub_hot_pairs = sub_hot.where(
+        (F.col("node") != F.col("_sub_hub.node"))
+        & (F.col("is_new") | F.col("_sub_hub.is_new"))
+    ).select(F.col("_sub_hub.node").alias("src"), F.col("node").alias("dst"))
+
+    # hub star over the whole hot bucket as a connectivity backstop for
+    # pairs whose secondary hashes diverge (verified downstream like every
+    # other candidate — contributes edges only where the hub really is a
+    # duplicate).
+    big_star = big.where(
+        (F.col("node") != F.col("_hub.node")) & (F.col("is_new") | F.col("_hub.is_new"))
+    ).select(F.col("_hub.node").alias("src"), F.col("node").alias("dst"))
+
+    return (
+        small_pairs.unionByName(sub_small_pairs)
+        .unionByName(sub_hot_pairs)
+        .unionByName(big_star)
+        .dropDuplicates(["src", "dst"])
+    )

@@ -11,9 +11,14 @@ Spark-native decomposition is:
    Computed in one numpy pass per Arrow batch (sliding-window min) — this is
    the per-partition "suffix structure" stage; a partition-local suffix
    array would find the same shared runs at higher cost.
-2. **Candidate generation**: explode (doc_id, fp) → self-join on fp with the
-   same hot-key star-capping as LSH; a pair is a candidate when the smaller
-   doc shares >= ``containment_frac`` of its fingerprints with the larger.
+2. **Candidate generation**: explode (doc_id, fp) → self-join on fp. HOT
+   fingerprints (boilerplate runs shared by > bucket_cap docs) are excluded
+   from the join — AND from the containment denominator, so a contained doc
+   made mostly of boilerplate is still found through its distinctive
+   fingerprints (a doc with zero surviving fingerprints is reported by
+   ``substring_hot_stats`` rather than silently dropped). A pair is a
+   candidate when the smaller doc shares >= ``containment_frac`` of its
+   *surviving* fingerprints with the larger.
 3. **Exact verification**: candidates join texts; vectorized Arrow UDF
    checks ``contained.text in container.text`` byte-exactly — precision 1.0.
 
@@ -43,9 +48,10 @@ def winnow_fingerprints(text: str, k: int = 20, w: int = 31) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     m = n - k + 1
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(k):
-        h = (h * _FNV_PRIME + b[j : j + m]) & _U64_MAX
+    with np.errstate(over="ignore"):  # uint64 wraparound intended
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            h = (h * _FNV_PRIME + b[j : j + m]) & _U64_MAX
     h = splitmix64(h)
     if m <= w:
         return np.unique(h[h == h.min()])
@@ -77,11 +83,13 @@ def substring_candidate_pairs(
         F.length(text_col).alias("n_len"),
         fp_udf(F.col(text_col)).alias("fps"),
     ).where(F.size("fps") > 0)
-    total = feats.select("node", F.size("fps").alias("n_fp"))
     ex = feats.select("node", "n_len", F.explode("fps").alias("fp"))
-    # hot fingerprints (boilerplate runs): cap contribution like LSH buckets
+    # hot fingerprints (boilerplate runs): exclude from the join AND from
+    # the containment denominator — a doc that is 90% boilerplate must
+    # still reach frac>=0.6 through its surviving distinctive fingerprints
     sizes = ex.groupBy("fp").agg(F.count("*").alias("bn"))
     ex = ex.join(sizes.where(F.col("bn") <= cfg.bucket_cap), "fp")
+    total = ex.groupBy("node").agg(F.count("*").alias("n_fp"))
     a = ex.select(
         F.col("fp"), F.col("node").alias("big"), F.col("n_len").alias("big_len")
     )
@@ -105,6 +113,32 @@ def substring_candidate_pairs(
         .withColumn("frac", F.col("shared") / F.col("n_fp"))
         .where(F.col("frac") >= 0.6)
         .select("big", "small", "shared", F.col("n_fp").alias("small_total"), "frac")
+    )
+
+
+def substring_hot_stats(
+    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """No-silent-caps metric ("no silent caps" engine rule): one row per doc
+    with (n_fp_total, n_fp_hot, fully_hot). ``fully_hot = true`` docs have
+    EVERY fingerprint above bucket_cap — they cannot be matched by the
+    candidate join and must be counted/logged by the caller (the pipeline's
+    metrics snapshot), not dropped silently."""
+    k, w = 20, cfg.substring_min_len - 20 + 1
+    fp_udf = make_fingerprint_udf(k, max(w, 2))
+    feats = docs.select(
+        F.col(id_col).alias("node"), fp_udf(F.col(text_col)).alias("fps")
+    ).where(F.size("fps") > 0)
+    ex = feats.select("node", F.explode("fps").alias("fp"))
+    sizes = ex.groupBy("fp").agg(F.count("*").alias("bn"))
+    return (
+        ex.join(sizes, "fp")
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_fp_total"),
+            F.sum((F.col("bn") > cfg.bucket_cap).cast("long")).alias("n_fp_hot"),
+        )
+        .withColumn("fully_hot", F.col("n_fp_hot") == F.col("n_fp_total"))
     )
 
 

@@ -46,7 +46,7 @@ def fix_duplicate_leader_ids(links: DataFrame) -> DataFrame:
         F.min("canonical_id").alias("_fixed_id")
     )
     return (
-        non_null.join(F.broadcast(canon), "canonical_leader")
+        non_null.join(canon, "canonical_leader")
         .withColumn("canonical_id", F.col("_fixed_id"))
         .drop("_fixed_id")
     )
@@ -71,7 +71,7 @@ def fix_nan_leaders(links: DataFrame) -> DataFrame:
     )
     na = (
         na.drop("canonical_id")
-        .join(F.broadcast(new_ids), "canonical_leader")
+        .join(new_ids, "canonical_leader")
         .withColumnRenamed("_new_id", "canonical_id")
         .select(*ok.columns)
     )

@@ -94,7 +94,7 @@ def reselect_winners(relations: DataFrame, df_score: DataFrame) -> DataFrame:
         .groupBy("group_key", "entity_uuid")
         .agg(F.max("is_orig_winner").alias("is_orig_winner"))
     )
-    members = members.join(F.broadcast(scores), "entity_uuid", "left").withColumn(
+    members = members.join(scores, "entity_uuid", "left").withColumn(
         "score", F.coalesce(F.col("score"), F.lit(0.0))
     )
     w = Window.partitionBy("group_key").orderBy(
@@ -124,8 +124,8 @@ def add_entity_names(pairs: DataFrame, entity_names: DataFrame) -> DataFrame:
         F.col("entity_uuid").alias("loser_entity_uuid"), F.col("name").alias("loser_name")
     )
     return (
-        pairs.join(F.broadcast(wn), "winner_entity_uuid", "left")
-        .join(F.broadcast(ln), "loser_entity_uuid", "left")
+        pairs.join(wn, "winner_entity_uuid", "left")
+        .join(ln, "loser_entity_uuid", "left")
         .select("winner_entity_uuid", "winner_name", "loser_entity_uuid", "loser_name")
     )
 

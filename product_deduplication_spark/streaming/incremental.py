@@ -11,11 +11,17 @@ circuit) at webtext scale:
 2. **Feature reuse** — MinHash/shingles are computed ONLY for genuinely new
    docs; prior snapshots' features are read back from the catalog. At 10^12
    docs this is the difference between re-hashing the corpus and hashing
-   the daily delta.
-3. **Cluster stitching** — LSH candidates are generated over (new ∪ old)
-   features, verified exactly, then connected components run over
-   new-edges ∪ prior-assignment-edges (doc→cluster_id edges keep old
-   clusters intact and merge them when a new doc bridges two).
+   the daily delta. DOCS/FEATURES are *delta stages*: each batch appends
+   only its new rows and readers union the snapshot list
+   (``SnapshotCatalog.read_stage_union``) — never a full rewrite.
+3. **Delta-restricted candidates** — LSH banding runs in delta mode
+   (``candidate_pairs(..., delta_ids=new ids)``): only buckets touching a
+   new doc are considered and only (new, any) pairs are emitted. Old-old
+   edges were found by the batch that added the younger doc, so per-batch
+   cost is proportional to the delta, not the corpus.
+4. **Cluster stitching** — verified new edges union prior-assignment-edges
+   (doc→cluster_id edges keep old clusters intact and merge them when a
+   new doc bridges two), then connected components reassign.
 
 ``foreach_batch_dedup`` wraps this as a Structured Streaming sink
 (``writeStream.foreachBatch``) so a stream of page snapshots continuously
@@ -54,9 +60,11 @@ def incremental_dedup(
         prior_edges = None
         truly_new = new_prepared
     else:
-        old_docs = catalog.read_stage(DOCS_STAGE)
+        # union of ALL prior delta snapshots — not just the latest batch
+        # (a batch-3 doc must still LSH-collide with a batch-1 doc)
+        old_docs = catalog.read_stage_union(DOCS_STAGE)
         old_clusters = catalog.read_stage(CLUSTERS_STAGE)
-        old_feats = catalog.read_stage(FEATURES_STAGE)
+        old_feats = catalog.read_stage_union(FEATURES_STAGE)
         # idempotence: drop re-submitted urls
         truly_new = new_prepared.join(old_docs.select("url"), "url", "left_anti")
         all_docs = old_docs.unionByName(truly_new)
@@ -72,16 +80,23 @@ def incremental_dedup(
     feats = new_feats if old_feats is None else old_feats.unionByName(new_feats)
     feats = feats.persist()
 
-    # exact short circuit (V11): cheap sha2 equality, no LSH needed for hits
+    # exact short circuit (V11): cheap sha2 equality, no LSH needed for hits.
+    # Delta-restricted like LSH: only hash groups containing a new doc emit
+    # edges (old-old exact edges are already inside prior clusters).
+    new_ids = truly_new.select("doc_id")
     hashed = all_docs.select("doc_id", F.sha2("text", 256).alias("h"))
-    hubs = hashed.groupBy("h").agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+    new_hashes = hashed.join(new_ids, "doc_id", "left_semi").select("h").distinct()
+    touched = hashed.join(new_hashes, "h", "left_semi")
+    hubs = touched.groupBy("h").agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
     exact_edges = (
-        hashed.join(hubs.where(F.col("n") > 1), "h")
+        touched.join(hubs.where(F.col("n") > 1), "h")
         .where(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
     )
 
-    pairs = candidate_pairs(feats, cfg)
+    # delta mode: only (new, any) candidate pairs — per-batch LSH cost is
+    # proportional to the delta, not the accumulated corpus
+    pairs = candidate_pairs(feats, cfg, delta_ids=None if bootstrap else new_ids)
     near = verify_pairs(pairs, feats, cfg).select("src", "dst")
 
     edges = exact_edges.unionByName(near)
@@ -91,7 +106,8 @@ def incremental_dedup(
         assign_clusters(all_docs, edges.dropDuplicates(["src", "dst"]), "doc_id")
     ).select("url", "doc_id", "cluster_id", "is_winner", "text")
 
-    catalog.write_stage(all_docs, DOCS_STAGE, metrics={"new_docs": truly_new.count()})
+    # delta writes: only the batch's new rows (read path unions snapshots)
+    catalog.write_stage(truly_new, DOCS_STAGE, metrics={"new_docs": truly_new.count()})
     catalog.write_stage(new_feats, FEATURES_STAGE)
     entry = catalog.write_stage(
         clusters.drop("text"), CLUSTERS_STAGE, metrics={"bootstrap": bootstrap}

@@ -50,3 +50,39 @@ def test_incremental_idempotent_on_resubmission(spark, tmp_path, corpus):
     c2 = incremental_dedup(spark, cat, spark.createDataFrame(batch1[["url", "text"]]), CFG)
     assert c2.count() == n1
     assert _partition_pairs(c2.collect()) == p1
+
+
+def test_three_batches_cross_batch_near_dup(spark, tmp_path):
+    """A batch-3 doc that near-duplicates a batch-1 doc must land in its
+    cluster — regression for the FEATURES_STAGE latest-snapshot-only bug
+    (old features must be the union of ALL prior batch deltas)."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"tok{k}" for k in range(4000)]
+
+    def doc(n=300):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    base = doc()
+    near = " ".join(base.split()[3:])  # drop 3 tokens: Jaccard >> 0.8
+    b1 = [("https://x/base", base)] + [(f"https://x/a{i}", doc()) for i in range(5)]
+    b2 = [(f"https://x/b{i}", doc()) for i in range(6)]
+    b3 = [("https://x/near", near)] + [(f"https://x/c{i}", doc()) for i in range(5)]
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc3"))
+    for batch in (b1, b2, b3):
+        res = incremental_dedup(
+            spark, cat, spark.createDataFrame(batch, "url string, text string"), CFG
+        )
+    rows = {r["url"]: r["cluster_id"] for r in res.collect()}
+    assert rows["https://x/base"] == rows["https://x/near"]
+    # and the invariant: incremental == full recompute on the union
+    full = run_dedup(
+        spark.createDataFrame(b1 + b2 + b3, "url string, text string"), CFG
+    )
+    inc_pairs = clusters_to_pairs(rows)
+    full_pairs = clusters_to_pairs(
+        {r["url"]: r["cluster_id"] for r in full.clusters.select("url", "cluster_id").collect()}
+    )
+    assert inc_pairs == full_pairs

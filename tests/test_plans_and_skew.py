@@ -77,3 +77,99 @@ def test_mixed_hot_and_normal_buckets(spark):
     n_pairs = candidate_pairs(feats, cfg).count()
     # hot star: 199 edges; normal docs are mutually dissimilar -> few extras
     assert 199 <= n_pairs <= 199 + 40
+
+
+def _sig_features(spark, rows):
+    """Hand-built (doc_id, minhash) features for surgical LSH tests."""
+    return spark.createDataFrame(
+        [(i, sig) for i, sig in rows], "doc_id long, minhash array<long>"
+    )
+
+
+# 4-band/2-row config: band slices are sig[0:2], sig[2:4], sig[4:6], sig[6:8]
+_LSH_CFG = DedupConfig(num_hashes=8, lsh_bands=4, bucket_cap=4, shuffle_partitions=8)
+
+
+def _two_hot_band_fixture():
+    """A (50) and B (51) agree ONLY on bands 0 and 1, and BOTH those buckets
+    are hot (shared with 10 fillers each, hubs 0 and 20 — not duplicates of
+    A/B). The only way to candidate (A, B) directly is secondary re-banding."""
+    rows = []
+    for i in range(10):  # band-0 hot fillers, hub = 0
+        rows.append((i, [1, 1] + [10_000 + i, 1] + [20_000 + i, 1] + [30_000 + i, 1]))
+    for i in range(10):  # band-1 hot fillers, hub = 20
+        rows.append((20 + i, [40_000 + i, 1] + [2, 2] + [50_000 + i, 1] + [60_000 + i, 1]))
+    rows.append((50, [1, 1] + [2, 2] + [70_001, 1] + [70_002, 1]))
+    rows.append((51, [1, 1] + [2, 2] + [80_001, 1] + [80_002, 1]))
+    return rows
+
+
+def test_hot_bucket_secondary_reband_recovers_pair(spark):
+    """Two docs whose only collisions are hot buckets must still become a
+    DIRECT candidate pair (not just hub-star edges that verification can
+    drop when the hub isn't a true duplicate)."""
+    feats = _sig_features(spark, _two_hot_band_fixture())
+    pairs = {(r["src"], r["dst"]) for r in candidate_pairs(feats, _LSH_CFG).collect()}
+    assert (50, 51) in pairs
+    # hub stars still present and linear
+    assert (0, 50) in pairs and (20, 51) in pairs
+
+
+def test_delta_candidates_equal_new_vs_all(spark):
+    """Delta mode emits exactly the full-mode pairs that touch a new doc —
+    per-batch cost proportional to the delta, zero recall loss."""
+    feats = _sig_features(spark, _two_hot_band_fixture())
+    full = {(r["src"], r["dst"]) for r in candidate_pairs(feats, _LSH_CFG).collect()}
+    delta = spark.createDataFrame([(51,)], "doc_id long")
+    got = {
+        (r["src"], r["dst"])
+        for r in candidate_pairs(feats, _LSH_CFG, delta_ids=delta).collect()
+    }
+    want = {(s, d) for (s, d) in full if s == 51 or d == 51}
+    assert got == want
+    assert all(s == 51 or d == 51 for (s, d) in got)
+
+
+def test_delta_candidates_new_min_id_hub_reaches_old_members(spark):
+    """A new doc that becomes the hot bucket's min-id hub must still emit
+    star edges to the OLD members (otherwise the new doc is orphaned)."""
+    rows = _two_hot_band_fixture()
+    rows.append((-1, [1, 1] + [90_001, 1] + [90_002, 1] + [90_003, 1]))  # new min id
+    feats = _sig_features(spark, rows)
+    delta = spark.createDataFrame([(-1,)], "doc_id long")
+    got = {
+        (r["src"], r["dst"])
+        for r in candidate_pairs(feats, _LSH_CFG, delta_ids=delta).collect()
+    }
+    # -1 is the new hub of the hot band-0 bucket: stars to every old member
+    assert (-1, 0) in got and (-1, 50) in got and (-1, 51) in got
+
+
+def test_canonical_upsert_never_forces_broadcast(spark):
+    """member_index / leader_index grow with the corpus — the upsert must
+    not FORCE a broadcast of them (AQE may still pick one at runtime when
+    the side is actually small; what's banned is the unconditional hint
+    that would OOM the driver at 100x)."""
+    from product_deduplication_spark.operators.canonical import upsert_canonical
+
+    catalog = spark.createDataFrame(
+        [(1, "leader a")], "canonical_id long, canonical_leader string"
+    )
+    links = spark.createDataFrame(
+        [("u1", "n1", 1, "leader a", "member a", 0)],
+        "item_uuid string, item_name string, canonical_id long, "
+        "canonical_leader string, canonical_member string, agent_verified int",
+    )
+    groups = spark.createDataFrame(
+        [(10, "leader b", "member b", "u2", "n2")],
+        "group_id long, leader string, member string, item_uuid string, item_name string",
+    )
+    out_cat, out_links = upsert_canonical(catalog, links, groups)
+    for df in (out_cat, out_links):
+        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" in ln:
+                # the only allowed forced broadcast is the O(numPartitions)
+                # offsets map inside assign_sequential_ids
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                assert "_pid" in nxt and "_offset" in nxt, "\n".join(lines[i : i + 3])

@@ -62,3 +62,48 @@ def test_substring_edges_found_and_exact(spark):
     assert sub_truth, "corpus has no substring pairs"
     hits = sum((a, b) in found for a, b in sub_truth)
     assert hits / len(sub_truth) >= 0.99, (hits, len(sub_truth))
+
+
+def test_boilerplate_heavy_containment_still_found(spark):
+    """A contained doc that is mostly hot boilerplate must still be found:
+    hot fingerprints are excluded from the containment DENOMINATOR, not just
+    the join (regression for the silent hot-drop)."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(400))  # shared by many
+    distinct = " ".join(rng.choice(vocab) for _ in range(120))
+    small = boiler + " " + distinct            # ~77% boilerplate
+    big = small + " " + " ".join(rng.choice(vocab) for _ in range(200))
+    rows = [("big", big), ("small", small)]
+    # 30 other docs carrying the same boilerplate -> its fps exceed the cap
+    for i in range(30):
+        rows.append((f"noise{i}", boiler + " " + " ".join(rng.choice(vocab) for _ in range(150))))
+    sdf = spark.createDataFrame(rows, "url string, text string").selectExpr(
+        "xxhash64(url) as doc_id", "url", "text"
+    )
+    cfg = DedupConfig(shuffle_partitions=8, bucket_cap=8)
+    edges = substring_duplicate_edges(sdf, cfg).collect()
+    id2url = {r["doc_id"]: r["url"] for r in sdf.select("doc_id", "url").collect()}
+    found = {(id2url[r["src"]], id2url[r["dst"]]) for r in edges}
+    assert ("big", "small") in found, found
+
+
+def test_substring_hot_stats_reports_fully_hot_docs(spark):
+    """Docs whose every fingerprint is hot are surfaced as fully_hot=true
+    (no silent caps)."""
+    from product_deduplication_spark.operators.substring import substring_hot_stats
+
+    boiler = " ".join(f"common{i % 40}" for i in range(300))
+    rows = [(f"copy{i}", boiler) for i in range(20)]
+    rows.append(("unique", " ".join(f"rare{i}" for i in range(300))))
+    sdf = spark.createDataFrame(rows, "url string, text string").selectExpr(
+        "xxhash64(url) as doc_id", "url", "text"
+    )
+    cfg = DedupConfig(shuffle_partitions=8, bucket_cap=8)
+    stats = {r["node"]: r for r in substring_hot_stats(sdf, cfg).collect()}
+    id2url = {r["doc_id"]: r["url"] for r in sdf.select("doc_id", "url").collect()}
+    by_url = {id2url[k]: v for k, v in stats.items()}
+    assert by_url["copy0"]["fully_hot"] is True
+    assert by_url["unique"]["fully_hot"] is False
