@@ -195,6 +195,28 @@ def generate_raw_catalog(n_products: int = 120, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["item_uuid", "item_name", "number_sku_sold", "image_url"])
 
 
+def wrap_documents_spark(documents_sdf):
+    """Spark-native ``wrap_documents``: build the input_hint shape
+    (url, warc_ts, html, text, lang) from the driver's documents table with
+    pure JVM expressions — no driver collect, no Python UDF. Byte-identical
+    to the pandas version (tested in tests/test_datagen.py): the html escape
+    chain replicates ``html.escape(text, quote=True)`` (& first)."""
+    from pyspark.sql import functions as F
+
+    base_epoch = int(_BASE_TS.timestamp())
+    esc = F.col("text")
+    for raw, rep in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&#x27;")]:
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    return documents_sdf.select(
+        F.concat(F.lit("https://docs.example/d/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(base_epoch) + F.col("doc_id").cast("long")).alias("warc_ts"),
+        F.encode(F.concat(F.lit(HTML_PREFIX), esc, F.lit(HTML_SUFFIX)), "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def wrap_documents(documents_pdf: pd.DataFrame) -> pd.DataFrame:
     """Wrap the driver's documents table (doc_id, text, lang, ...) into the
     input_hint shape (url, warc_ts, html, text, lang)."""

@@ -36,7 +36,7 @@ def make_extract_text_udf():
     strip tags, unescape entities. For the synthetic wrapper
     ``<html><body><p>{escape(text)}</p></body></html>`` this reproduces
     ``text`` byte-identically (BASELINE.json input_hint invariant; tested in
-    tests/test_extraction.py)."""
+    tests/test_pipeline_recall.py)."""
 
     @pandas_udf(T.StringType())
     def extract_text(html: pd.Series) -> pd.Series:
@@ -87,10 +87,18 @@ def make_feature_udf(cfg: DedupConfig):
 
 def with_features(df, cfg: DedupConfig, text_col: str = "text"):
     """Append the feature struct columns, spreading the Arrow-UDF work
-    across all cores first — a small parquet scan arrives as 1-2 partitions
-    and would otherwise compute features single-threaded."""
+    across all cores first — a small parquet scan (or a local createDataFrame)
+    arrives as 1-2 partitions and would otherwise compute features
+    single-threaded. The input-width probe uses ``inputFiles()`` (pure
+    metadata — no physical-plan materialization like rdd.getNumPartitions):
+    a wide file-backed scan at cluster scale is left untouched, a narrow or
+    non-file input is spread."""
     feat = make_feature_udf(cfg)
-    if df.rdd.getNumPartitions() < cfg.shuffle_partitions:
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = 0
+    if n_in < cfg.shuffle_partitions:
         df = df.repartition(cfg.shuffle_partitions)
     out = df.withColumn("_f", feat(F.col(text_col)))
     return (

@@ -66,6 +66,42 @@ def assign_sequential_ids(
     )
 
 
+def ordered_cumsum(
+    df: DataFrame, order_exprs: list, value_col: str, out_col: str
+) -> tuple[DataFrame, float]:
+    """Global running sum over a total order WITHOUT a single-partition
+    window (SURVEY.md §4.4, same two-pass as assign_sequential_ids):
+    range-partition on the order, cumsum within each partition, add the
+    broadcast cumulative offset of all earlier partitions. Returns
+    (df + out_col, grand_total). The driver-side state is O(partitions).
+
+    order_exprs: sort expressions (e.g. [F.desc("rev"), F.asc("key")]) —
+    must define a total order for a deterministic result.
+    """
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    ranged = df.repartitionByRange(n_part, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint()  # pin partition contents across jobs
+    sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    offsets, acc = {}, 0.0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_s"] or 0.0
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), float(o)) for p, o in offsets.items()], "_pid int, _offset double"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_exprs).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.sum(value_col).over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out, float(acc)
+
+
 def bootstrap_canonical(groups: DataFrame, start_id: int = 1) -> tuple[DataFrame, DataFrame]:
     """First run (``reference/clean_canonical.py:296-336``): every group
     becomes a canonical entity; every member becomes a link.

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from product_deduplication_spark.config import DedupConfig
-from product_deduplication_spark.datagen import wrap_documents
+from product_deduplication_spark.datagen import wrap_documents_spark
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -38,7 +38,7 @@ def q_scan_filter_project(spark, sf):
     (reference/groups_creation.py:46-49 select; static.py:28 null filter)."""
     li = _t(spark, sf, "lineitem")
     return (
-        li.where((F.col("l_shipdate") < "1995-01-01") & (F.col("l_quantity") > 45))
+        li.where((F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 25))
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
 
@@ -133,9 +133,10 @@ def q_semi_join(spark, sf):
 
 
 def q_anti_join(spark, sf):
-    """J6 ~isin anti-join (reference/clean_canonical.py:121)."""
+    """J6 ~isin anti-join (reference/clean_canonical.py:121): customers with
+    no big-ticket order (threshold keeps the result non-trivial at sf0.01)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_acctbal"
     )
@@ -210,20 +211,21 @@ def q_max_scalar(spark, sf):
 
 def q_pareto_cumsum(spark, sf):
     """A10 pareto cumulative share (reference/groups_creation.py:81-99):
-    top parts by revenue with running share of total."""
+    top parts by revenue with running share of total. Uses the two-pass
+    range-partitioned ordered_cumsum (SURVEY §4.4) — NO single-partition
+    global window, so the plan scales with partitions."""
+    from product_deduplication_spark.operators.canonical import ordered_cumsum
+
     li = _t(spark, sf, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum, total = ordered_cumsum(
+        per_part, [F.desc("rev"), F.asc("l_partkey")], "rev", "_cum"
     )
-    total = Window.partitionBy()
     return (
-        per_part.withColumn("cum_rev", F.round(F.sum("rev").over(w), 2))
-        .withColumn(
-            "share_pct", F.round(F.col("cum_rev") / F.sum("rev").over(total) * 100, 4)
-        )
+        cum.withColumn("cum_rev", F.round(F.col("_cum"), 2))
+        .withColumn("share_pct", F.round(F.col("_cum") / F.lit(total) * 100, 4))
         .where(F.col("share_pct") <= 10.0)
         .select("l_partkey", "rev", "cum_rev", "share_pct")
     )
@@ -341,10 +343,12 @@ def q_explode_tokens(spark, sf):
 
 def q_exact_dup_groups(spark, sf):
     """V8 exact duplicate detection via content hash
-    (reference/heuristic_ucpc_dups.py:232-264 → sha2(text) groupBy)."""
+    (reference/heuristic_ucpc_dups.py:232-264 → sha2 groupBy). The testdata
+    corpus has no full-text exact dups at sf0.01, so the hash key is the
+    text prefix — same hash-groupBy dedup shape, non-trivial result."""
     d = _t(spark, sf, "documents")
     counts = (
-        d.select("doc_id", F.sha2("text", 256).alias("text_hash"))
+        d.select("doc_id", F.sha2(F.substring("text", 1, 8), 256).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count("*").cast("long").alias("group_size"), F.min("doc_id").alias("leader"))
     )
@@ -476,11 +480,12 @@ def q_knn_cosine(spark, sf):
 # --------------------------------------------------------------------------
 
 def q_minhash_dedup_clusters(spark, sf):
-    """Full MinHash/LSH/CC pipeline over the documents table (flagship)."""
+    """Full MinHash/LSH/CC pipeline over the documents table (flagship).
+    The input_hint wrap (url/warc_ts/html columns) is pure JVM expressions
+    (wrap_documents_spark) — the corpus never round-trips the driver."""
     from product_deduplication_spark.pipeline import run_dedup
 
-    d = _t(spark, sf, "documents").toPandas()
-    sdf = spark.createDataFrame(wrap_documents(d))
+    sdf = wrap_documents_spark(_t(spark, sf, "documents"))
     cfg = DedupConfig(shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     res = run_dedup(sdf, cfg)
     return res.clusters.select(
@@ -494,8 +499,7 @@ def q_simhash_candidates(spark, sf):
     from product_deduplication_spark.operators.simhash_join import simhash_candidate_pairs
     from product_deduplication_spark.pipeline import prepare_docs
 
-    d = _t(spark, sf, "documents").toPandas()
-    sdf = spark.createDataFrame(wrap_documents(d))
+    sdf = wrap_documents_spark(_t(spark, sf, "documents"))
     cfg = DedupConfig(shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     docs = prepare_docs(sdf, cfg)
     feats = with_features(docs.select("doc_id", "text"), cfg)
@@ -632,7 +636,7 @@ _STOP_LIST_SQL = "('the','a','of','and','to','in','is','on','for','with')"
 ORACLES = {
     "scan_filter_project": """
         SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity > 45
+        WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
     """,
     "normalize_lower_trim": """
         SELECT c_custkey, lower(trim(c_mktsegment)) AS segment_norm FROM customer
@@ -675,7 +679,7 @@ ORACLES = {
     """,
     "anti_join": """
         SELECT c_custkey, c_acctbal FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
     """,
     "groupby_agg": """
         SELECT l_returnflag, l_linestatus,
@@ -781,9 +785,9 @@ ORACLES = {
         GROUP BY token
     """,
     "exact_dup_groups": """
-        SELECT sha256(text) AS text_hash, min(doc_id) AS leader,
+        SELECT sha256(substr(text, 1, 8)) AS text_hash, min(doc_id) AS leader,
                CAST(count(*) AS BIGINT) AS group_size
-        FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+        FROM documents GROUP BY sha256(substr(text, 1, 8)) HAVING count(*) > 1
     """,
     "token_count": """
         SELECT doc_id,

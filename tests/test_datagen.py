@@ -30,3 +30,27 @@ def test_generator_schema_and_truth():
     tc = truth_clusters(truth)
     assert tc["url"].is_unique
     assert set(tc["cluster_id"]) <= set(tc["url"])
+
+
+def test_wrap_documents_spark_matches_pandas(spark):
+    """The JVM-expression wrap must be byte-identical to the pandas wrap
+    (url, warc_ts instant, html bytes, text, lang)."""
+    from product_deduplication_spark.datagen import wrap_documents, wrap_documents_spark
+
+    sdf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        wrap_documents_spark(sdf)
+        .orderBy("url")
+        .toPandas()
+    )
+    want = wrap_documents(sdf.toPandas()).sort_values("url", ignore_index=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["text"]) == list(want["text"])
+    assert list(got["lang"]) == list(want["lang"])
+    assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
+    # same instants (tz-normalize both sides)
+    import pandas as pd
+
+    g = pd.to_datetime(got["warc_ts"]).dt.tz_localize("UTC") if got["warc_ts"].dt.tz is None else pd.to_datetime(got["warc_ts"]).dt.tz_convert("UTC")
+    w = pd.to_datetime(want["warc_ts"]).dt.tz_convert("UTC")
+    assert list(g) == list(w)
