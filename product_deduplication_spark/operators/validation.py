@@ -97,6 +97,22 @@ def conservation_check(before: DataFrame, after: DataFrame, key: str) -> DataFra
     )
 
 
+def classification_accuracy(links: DataFrame, label_col: str = "label") -> DataFrame:
+    """clean_canonical.py:18-22: agents mark group assignments true/false;
+    report the true-rate over labeled rows. Labels are trimmed+lowercased
+    (the reference's .str.strip().str.lower()); the rate is rounded to 3dp
+    exactly as the reference prints it. Returns one row
+    (n_labeled bigint, accuracy double)."""
+    norm = F.lower(F.trim(F.col(label_col)))
+    labeled = links.where(F.col(label_col).isNotNull())
+    return labeled.agg(
+        F.count("*").cast("long").alias("n_labeled"),
+        F.round(
+            F.sum((norm == "true").cast("long")) / F.count("*"), 3
+        ).alias("accuracy"),
+    )
+
+
 def losers_with_multiple_winners(relations: DataFrame) -> DataFrame:
     """agg_barcodes_to_winner.py:27-28 audit: loser uuids appearing under
     more than one winner."""

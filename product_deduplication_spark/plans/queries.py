@@ -584,6 +584,267 @@ def q_grocery_parity_clusters(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# fixture-backed operator queries (VALUES oracles): one green CORRECTNESS row
+# per remaining SURVEY §2 operator (S2-S4, S6, P4, P7, P9, P12, P18-P20, J3,
+# O2, U5/U6, V6, V10, V11 + classification_accuracy)
+# --------------------------------------------------------------------------
+
+_CSV_FIXTURE_ROWS = [
+    ("uuid-1", "Coca Cola 330ml", 120, "https://img/1.jpg"),
+    ("uuid-2", "pepsi max 2l", 45, None),
+    ("uuid-3", "Fanta @Promo Orange", 0, "https://img/3.jpg"),
+]
+
+
+def q_csv_roundtrip(spark, sf):
+    """S4 CSV sink → S3 typed CSV scan with S2 header offset + column-name
+    normalization (reference/match_barcode.py:22-25 rename-after-skip):
+    messy headers ('Item UUID') are written, the read normalizes them."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from product_deduplication_spark.sources.web_documents import (
+        read_csv_catalog,
+        write_csv,
+    )
+
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/catalog"
+    messy = T.StructType(
+        [
+            T.StructField("Item UUID", T.StringType()),
+            T.StructField("Item Name", T.StringType()),
+            T.StructField("Number SKU Sold", T.LongType()),
+            T.StructField("Image URL", T.StringType()),
+        ]
+    )
+    write_csv(spark.createDataFrame(_CSV_FIXTURE_ROWS, messy), path)
+    return read_csv_catalog(spark, path, schema=messy, normalize_names=True)
+
+
+_GROUPS_BOOT = [
+    (1, "alpha one", "alpha one", "u1", "Alpha One"),
+    (1, "alpha one", "alfa one", "u2", "ALFA One"),
+    (2, "beta two", "beta two", "u3", "Beta Two"),
+]
+_GROUPS_UPSERT = [
+    # g10: u4 direct-matches existing member 'alfa one' (V11); u5 is fresh
+    (10, "alfa one new", "alfa one", "u4", "Alfa One 4"),
+    (10, "alfa one new", "alpha uno", "u5", "Alpha Uno"),
+    # g11: contains existing canonical LEADER 'beta two' → V10 pinning
+    (11, "gamma three", "beta two", "u7", "Beta Two 7"),
+    (11, "gamma three", "gamma three", "u6", "Gamma Three"),
+]
+_GROUPS_SCHEMA = (
+    "group_id long, leader string, member string, item_uuid string, item_name string"
+)
+
+
+def q_bootstrap_canonical(spark, sf):
+    """S6 first-run branch + J3 join on derived key + §4.4 sequential ids
+    (reference/clean_canonical.py:296-336)."""
+    from product_deduplication_spark.operators.canonical import bootstrap_canonical
+
+    groups = spark.createDataFrame(_GROUPS_BOOT, _GROUPS_SCHEMA)
+    _cat, links = bootstrap_canonical(groups)
+    return links
+
+
+def q_canonical_upsert(spark, sf):
+    """S6 incremental branch: V11 direct-match short circuit + V10 leader
+    pinning + fresh sequential ids (reference/clean_canonical.py:338-418,
+    bivariate_comparison.py:98-172)."""
+    from product_deduplication_spark.operators.canonical import (
+        bootstrap_canonical,
+        upsert_canonical,
+    )
+
+    cat, links = bootstrap_canonical(spark.createDataFrame(_GROUPS_BOOT, _GROUPS_SCHEMA))
+    _cat2, links2 = upsert_canonical(
+        cat, links, spark.createDataFrame(_GROUPS_UPSERT, _GROUPS_SCHEMA)
+    )
+    return links2
+
+
+def q_title_case(spark, sf):
+    """P4 title-casing, BOTH semantics (reference/clean_canonical.py:57-65):
+    JVM initcap vs pandas str.title (capitalizes after any non-alpha)."""
+    from product_deduplication_spark.functions.normalize import title_case
+
+    df = spark.createDataFrame(
+        [("coca-cola 330ml",), ("HEINZ beans",), ("o'briens crisps 6x25g",)],
+        "name string",
+    )
+    df = title_case(df, "name", "initcap_name", pandas_semantics=False)
+    df = title_case(df, "name", "title_name", pandas_semantics=True)
+    return df
+
+
+def q_stop_words(spark, sf):
+    """P7 stop-word removal, bug-for-bug AND fixed (reference/static.py:32-34:
+    the whole-string membership test is a no-op unless the entire value is a
+    stop word)."""
+    from product_deduplication_spark.functions.normalize import remove_stop_words
+
+    stop = ["the", "and", "a"]
+    df = spark.createDataFrame(
+        [("the",), ("the beans and rice",), ("a",), ("fresh bread",)], "name string"
+    )
+    buggy = remove_stop_words(df, "name", stop, fixed=False).withColumnRenamed(
+        "name_stop", "buggy"
+    )
+    return remove_stop_words(buggy, "name", stop, fixed=True).withColumnRenamed(
+        "name_stop", "fixed"
+    ).select("name", "buggy", "fixed")
+
+
+def q_lemmatize_identity(spark, sf):
+    """P9 lemmatize — identity in this sandbox (no WordNet; documented
+    deviation, SURVEY.md P9): the chain must pass tokens through unchanged."""
+    from product_deduplication_spark.functions.normalize import normalize_names
+
+    p = _t(spark, sf, "part").select("p_partkey", F.col("p_name").alias("item_name"))
+    out = normalize_names(p, "item_name", regex_clean=False)
+    return out.select("p_partkey", F.col("product_name").alias("lemma"))
+
+
+def q_sentinel_replace(spark, sf):
+    r"""P12 '\N' sentinel → NULL (reference/agg_images.py:36,76)."""
+    df = spark.createDataFrame(
+        [("r1", "\\N"), ("r2", "img.jpg"), ("r3", None)], "row_id string, image string"
+    )
+    return df.replace("\\N", None, subset=["image"])
+
+
+def q_masked_update(spark, sf):
+    """P18 masked conditional update (df.loc[mask, col] = value;
+    reference/agg_barcodes_to_winner.py:96-102 suppression idiom)."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size") < 5, F.lit("BULK-SMALL"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_fixed"),
+    )
+
+
+def q_dict_map_join(spark, sf):
+    """P19 dict map → broadcast join (reference/winner_selection.py:97,
+    links_fix.py:30-33): unmatched keys get NULL. The dict side is a bounded
+    literal — broadcasting it is correct."""
+    tiers = spark.createDataFrame(
+        [("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 3)],
+        "c_mktsegment string, tier int",
+    )
+    c = _t(spark, sf, "customer")
+    return c.join(F.broadcast(tiers), "c_mktsegment", "left").select(
+        "c_custkey", F.col("tier").cast("long").alias("tier")
+    )
+
+
+def q_dict_replace_coalesce(spark, sf):
+    """P20 dict replace → left join + coalesce (keep original when no entry;
+    reference/clean_canonical.py:130-135)."""
+    repl = spark.createDataFrame(
+        [("BUILDING", "bldg"), ("FURNITURE", "furn")], "c_mktsegment string, _short string"
+    )
+    c = _t(spark, sf, "customer")
+    return c.join(F.broadcast(repl), "c_mktsegment", "left").select(
+        "c_custkey",
+        F.coalesce(F.col("_short"), F.col("c_mktsegment")).alias("segment_repl"),
+    )
+
+
+def q_topn_per_key(spark, sf):
+    """O2 per-key candidate cap (ntop=25, reference/static.py:194 — the rank
+    window shape of verify.py's candidate_cap_per_doc), here top-3 orders
+    per customer."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_coalesce_pair_join(spark, sf):
+    """U6 column-pair coalesce-join (reference/agg_barcodes_to_winner.py
+    winner/loser slot coalescing — enrichment.py:102-118 shape)."""
+    a = spark.createDataFrame(
+        [("k1", "a1"), ("k2", None), ("k3", None)], "key string, v_primary string"
+    )
+    b = spark.createDataFrame(
+        [("k1", "b1"), ("k2", "b2")], "key string, v_fallback string"
+    )
+    return (
+        a.join(b, "key", "left")
+        .select("key", F.coalesce("v_primary", "v_fallback").alias("v"))
+    )
+
+
+def q_self_pair_removal(spark, sf):
+    """V6 self-pair removal + direction canonicalization
+    (reference/static.py:196-201 diagonal drop; lsh.py src<dst)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a"), ("c", "d"), ("d", "c"), ("e", "e")],
+        "x string, y string",
+    )
+    return (
+        edges.where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def q_intersect_split(spark, sf):
+    """U5 isin-both-directions split (reference/appends_uuids.py:56-58):
+    rows of A flagged by membership in B — semi/anti pair in one pass."""
+    a = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i4",)], "id string")
+    b = spark.createDataFrame([("i2",), ("i4",), ("i9",)], "id string")
+    in_b = a.join(b, "id", "left_semi").withColumn("in_both", F.lit(1))
+    not_b = a.join(b, "id", "left_anti").withColumn("in_both", F.lit(0))
+    return in_b.unionByName(not_b)
+
+
+def q_classification_accuracy(spark, sf):
+    """Labeled-pair accuracy audit (reference/clean_canonical.py:18-22)."""
+    from product_deduplication_spark.operators.validation import classification_accuracy
+
+    links = spark.createDataFrame(
+        [("g1", "true"), ("g2", "TRUE "), ("g3", " false"), ("g4", None), ("g5", "True"),
+         ("g6", "false")],
+        "group string, label string",
+    )
+    return classification_accuracy(links)
+
+
+def q_ann_recall(spark, sf):
+    """ANN quality gate as an oracle row: recall of LSH-bucketed ann_topk vs
+    the exact brute-force top-5, over the 10 query vectors. Deterministic
+    (seeded hyperplanes); the oracle pins n_queries and recall_ok."""
+    from product_deduplication_spark.operators.knn import ann_topk, brute_force_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(q, e, k=5).select("query_id", "neighbor_id")
+    approx = ann_topk(q, e, k=5, dim=64, n_bits=4, n_tables=16).select(
+        "query_id", "neighbor_id"
+    )
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    overall = truth.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").alias("_n_truth"),
+    ).crossJoin(hits.agg(F.count("*").alias("_n_hit")))
+    return overall.select(
+        "n_queries",
+        ((F.col("_n_hit") / F.col("_n_truth")) >= 0.9).cast("int").alias("recall_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry + oracles
 # --------------------------------------------------------------------------
 
@@ -629,6 +890,22 @@ QUERIES = {
     "substring_containment": q_substring_containment,
     "ann_topk": q_ann_topk,
     "grocery_parity_clusters": q_grocery_parity_clusters,
+    "csv_roundtrip": q_csv_roundtrip,
+    "bootstrap_canonical": q_bootstrap_canonical,
+    "canonical_upsert": q_canonical_upsert,
+    "title_case": q_title_case,
+    "stop_words": q_stop_words,
+    "lemmatize_identity": q_lemmatize_identity,
+    "sentinel_replace": q_sentinel_replace,
+    "masked_update": q_masked_update,
+    "dict_map_join": q_dict_map_join,
+    "dict_replace_coalesce": q_dict_replace_coalesce,
+    "topn_per_key": q_topn_per_key,
+    "coalesce_pair_join": q_coalesce_pair_join,
+    "self_pair_removal": q_self_pair_removal,
+    "intersect_split": q_intersect_split,
+    "classification_accuracy": q_classification_accuracy,
+    "ann_recall": q_ann_recall,
 }
 
 _STOP_LIST_SQL = "('the','a','of','and','to','in','is','on','for','with')"
@@ -913,9 +1190,201 @@ ORACLES = {
                  '', 'g') AS product_name
         FROM joined
     """,
-    # minhash_dedup_clusters / simhash_candidates / substring_containment /
-    # ann_topk / grocery_parity_clusters: non-SQL-expressible (iterative CC,
-    # LSH banding, winnowing, driver-loop) — rows-only driver check by
-    # design; their correctness gates live in tests/ (oracle parity, recall,
-    # ANN-vs-bruteforce).
+    "csv_roundtrip": """
+        SELECT * FROM (VALUES
+            ('uuid-1', 'Coca Cola 330ml', CAST(120 AS BIGINT), 'https://img/1.jpg'),
+            ('uuid-2', 'pepsi max 2l', CAST(45 AS BIGINT), NULL),
+            ('uuid-3', 'Fanta @Promo Orange', CAST(0 AS BIGINT), 'https://img/3.jpg')
+        ) AS t(item_uuid, item_name, number_sku_sold, image_url)
+    """,
+    "bootstrap_canonical": """
+        SELECT * FROM (VALUES
+            ('u1', 'Alpha One', CAST(1 AS BIGINT), 'alpha one', 'alpha one', 0),
+            ('u2', 'ALFA One', CAST(1 AS BIGINT), 'alpha one', 'alfa one', 0),
+            ('u3', 'Beta Two', CAST(2 AS BIGINT), 'beta two', 'beta two', 0)
+        ) AS t(item_uuid, item_name, canonical_id, canonical_leader,
+               canonical_member, agent_verified)
+    """,
+    "canonical_upsert": """
+        SELECT * FROM (VALUES
+            ('u1', 'Alpha One',   CAST(1 AS BIGINT), 'alpha one', 'alpha one', 0),
+            ('u2', 'ALFA One',    CAST(1 AS BIGINT), 'alpha one', 'alfa one', 0),
+            ('u3', 'Beta Two',    CAST(2 AS BIGINT), 'beta two', 'beta two', 0),
+            ('u4', 'Alfa One 4',  CAST(1 AS BIGINT), 'alpha one', 'alfa one', 0),
+            ('u7', 'Beta Two 7',  CAST(2 AS BIGINT), 'beta two', 'beta two', 0),
+            ('u6', 'Gamma Three', CAST(2 AS BIGINT), 'beta two', 'gamma three', 0),
+            ('u5', 'Alpha Uno',   CAST(3 AS BIGINT), 'alfa one new', 'alpha uno', 0)
+        ) AS t(item_uuid, item_name, canonical_id, canonical_leader,
+               canonical_member, agent_verified)
+    """,
+    "title_case": """
+        SELECT * FROM (VALUES
+            ('coca-cola 330ml', 'Coca-cola 330ml', 'Coca-Cola 330Ml'),
+            ('HEINZ beans', 'Heinz Beans', 'Heinz Beans'),
+            ('o''briens crisps 6x25g', 'O''briens Crisps 6x25g',
+             'O''Briens Crisps 6X25G')
+        ) AS t(name, initcap_name, title_name)
+    """,
+    "stop_words": """
+        SELECT * FROM (VALUES
+            ('the', '', ''),
+            ('the beans and rice', 'the beans and rice', 'beans rice'),
+            ('a', '', ''),
+            ('fresh bread', 'fresh bread', 'fresh bread')
+        ) AS t(name, buggy, fixed)
+    """,
+    "lemmatize_identity": r"""
+        WITH cleaned AS (
+            SELECT p_partkey,
+                   regexp_replace(lower(trim(p_name)),
+                                  '(@[A-Za-z0-9]+)|([^0-9A-Za-z.% \t])', '', 'g') AS n1
+            FROM part
+        )
+        SELECT p_partkey,
+               array_to_string(list_filter(string_split_regex(n1, '\s+'),
+                               w -> w != '.' AND w != ''), ' ') AS lemma
+        FROM cleaned
+    """,
+    "sentinel_replace": """
+        SELECT * FROM (VALUES
+            ('r1', CAST(NULL AS VARCHAR)),
+            ('r2', 'img.jpg'),
+            ('r3', CAST(NULL AS VARCHAR))
+        ) AS t(row_id, image)
+    """,
+    "masked_update": """
+        SELECT p_partkey,
+               CASE WHEN p_size < 5 THEN 'BULK-SMALL' ELSE p_brand END
+                   AS brand_fixed
+        FROM part
+    """,
+    "dict_map_join": """
+        SELECT c_custkey, CAST(t.tier AS BIGINT) AS tier
+        FROM customer LEFT JOIN (VALUES
+            ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)
+        ) AS t(c_mktsegment, tier) USING (c_mktsegment)
+    """,
+    "dict_replace_coalesce": """
+        SELECT c_custkey, coalesce(t._short, c_mktsegment) AS segment_repl
+        FROM customer LEFT JOIN (VALUES
+            ('BUILDING', 'bldg'), ('FURNITURE', 'furn')
+        ) AS t(c_mktsegment, _short) USING (c_mktsegment)
+    """,
+    "topn_per_key": """
+        SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
+            SELECT o_custkey, o_orderkey, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders)
+        WHERE rk <= 3
+    """,
+    "coalesce_pair_join": """
+        SELECT * FROM (VALUES
+            ('k1', 'a1'), ('k2', 'b2'), ('k3', CAST(NULL AS VARCHAR))
+        ) AS t(key, v)
+    """,
+    "self_pair_removal": """
+        SELECT * FROM (VALUES ('a', 'b'), ('c', 'd')) AS t(src, dst)
+    """,
+    "intersect_split": """
+        SELECT * FROM (VALUES
+            ('i2', 1), ('i4', 1), ('i1', 0), ('i3', 0)
+        ) AS t(id, in_both)
+    """,
+    "classification_accuracy": """
+        SELECT CAST(5 AS BIGINT) AS n_labeled, CAST(0.6 AS DOUBLE) AS accuracy
+    """,
+    "ann_recall": """
+        SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS recall_ok
+    """,
+    "substring_containment": """
+        SELECT a.doc_id AS src, b.doc_id AS dst,
+               round(length(b.text) * 1.0 / length(a.text), 6) AS similarity
+        FROM documents a JOIN documents b
+          ON a.doc_id != b.doc_id
+         AND (length(a.text) > length(b.text)
+              OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id))
+         AND length(b.text) >= 50
+         AND position(b.text IN a.text) > 0
+    """,
+    "grocery_parity_clusters": """
+        SELECT * FROM (VALUES
+            ('2l cadbury juice orange ', CAST(-5912635960808054771 AS BIGINT)),
+            ('400g flakes pepsi corn', CAST(2283153150840278584 AS BIGINT)),
+            ('500ml evian spring water', CAST(1437698797003931250 AS BIGINT)),
+            ('750ml ketchup tomato walkers ', CAST(-6052791699241624244 AS BIGINT)),
+            ('750ml water danone spring', CAST(-1029919326059100739 AS BIGINT)),
+            ('cadbury lemonade 2l', CAST(-3567978483894306894 AS BIGINT)),
+            ('cadbury lemonade 2l ', CAST(-3567978483894306894 AS BIGINT)),
+            ('cadbury lemonade 6 x 330ml', CAST(3901883521732434288 AS BIGINT)),
+            ('cadbury orange juice 2l', CAST(-5912635960808054771 AS BIGINT)),
+            ('cadbury orange juice 2l ', CAST(-5912635960808054771 AS BIGINT)),
+            ('cadbury tomato ketchup 500ml ', CAST(-6226420317367762025 AS BIGINT)),
+            ('crisps 1l danone', CAST(-3592368004239176537 AS BIGINT)),
+            ('crisps 4 pack danone', CAST(-8858661211267879853 AS BIGINT)),
+            ('crisps pack danone 4 ', CAST(-6815192681971839603 AS BIGINT)),
+            ('danone cola drink 2l', CAST(-8585463995419102815 AS BIGINT)),
+            ('danone cola drink 2l ', CAST(-8585463995419102815 AS BIGINT)),
+            ('danone crisps 1l', CAST(-3592368004239176537 AS BIGINT)),
+            ('danone crisps 4 pack ', CAST(-8858661211267879853 AS BIGINT)),
+            ('danone drink cola 2l', CAST(-8585463995419102815 AS BIGINT)),
+            ('danone lemonade 2l', CAST(-6172696593964904709 AS BIGINT)),
+            ('danone lemonade 500ml', CAST(-5847655763428539006 AS BIGINT)),
+            ('danone lemonade 500ml ', CAST(-5847655763428539006 AS BIGINT)),
+            ('danone spring water 750ml', CAST(-1029919326059100739 AS BIGINT)),
+            ('danone yogurt 6 x 330ml', CAST(338100440334118312 AS BIGINT)),
+            ('evian 250g tomato ketchup', CAST(-3802267517195517477 AS BIGINT)),
+            ('evian corn flakes 250g', CAST(-8408613473007983900 AS BIGINT)),
+            ('evian corn flakes 250g ', CAST(-8408613473007983900 AS BIGINT)),
+            ('evian corn flakes 400g', CAST(-1820123733953626958 AS BIGINT)),
+            ('evian corn flakes 400g ', CAST(-1820123733953626958 AS BIGINT)),
+            ('evian spring water 500ml ', CAST(1437698797003931250 AS BIGINT)),
+            ('evian tomato ketchup 250g', CAST(-3802267517195517477 AS BIGINT)),
+            ('fanta corn flakes 750ml', CAST(-6781958906731528263 AS BIGINT)),
+            ('fanta spring water 330ml', CAST(-8182357169939086226 AS BIGINT)),
+            ('fanta spring water 330ml ', CAST(-8182357169939086226 AS BIGINT)),
+            ('flakes corn 250g evian', CAST(-8408613473007983900 AS BIGINT)),
+            ('flakes corn 750ml fanta', CAST(-6781958906731528263 AS BIGINT)),
+            ('flakes pack corn 4 walkers ', CAST(3959328270443148267 AS BIGINT)),
+            ('heinz spring water 2l ', CAST(-4647327245470380786 AS BIGINT)),
+            ('juice 4 pack orange kellogs', CAST(-952182018359585698 AS BIGINT)),
+            ('kellogs orange juice 4 pack', CAST(-952182018359585698 AS BIGINT)),
+            ('lemonade 2l danone', CAST(-6172696593964904709 AS BIGINT)),
+            ('lemonade 500ml danone', CAST(-5847655763428539006 AS BIGINT)),
+            ('lemonade 750ml walkers ', CAST(-9000826235861288302 AS BIGINT)),
+            ('lemonade pepsi 500ml', CAST(4067087774553885108 AS BIGINT)),
+            ('nestle crisps 4 pack', CAST(-4836244515147165047 AS BIGINT)),
+            ('nestle crisps 750ml', CAST(827114174625916196 AS BIGINT)),
+            ('nestle crisps 750ml ', CAST(827114174625916196 AS BIGINT)),
+            ('nestle yogurt 2l', CAST(-8351074685632779813 AS BIGINT)),
+            ('pepsi 1l orange juice ', CAST(255601007263709216 AS BIGINT)),
+            ('pepsi cola drink 1l', CAST(-3776552829520387053 AS BIGINT)),
+            ('pepsi corn flakes 400g', CAST(2283153150840278584 AS BIGINT)),
+            ('pepsi corn flakes 400g ', CAST(2283153150840278584 AS BIGINT)),
+            ('pepsi crisps 330ml', CAST(-8160907935267870395 AS BIGINT)),
+            ('pepsi lemonade 500ml', CAST(4067087774553885108 AS BIGINT)),
+            ('pepsi orange 1l juice', CAST(255601007263709216 AS BIGINT)),
+            ('pepsi orange juice 1l', CAST(255601007263709216 AS BIGINT)),
+            ('pepsi spring water 400g', CAST(-4624035188310817795 AS BIGINT)),
+            ('spring water 750ml danone', CAST(-1029919326059100739 AS BIGINT)),
+            ('sprite chocolate bar 330ml', CAST(7024027538426073050 AS BIGINT)),
+            ('sprite chocolate bar 400g', CAST(-1302964607138044873 AS BIGINT)),
+            ('sprite cola drink 250g ', CAST(4244509839555454412 AS BIGINT)),
+            ('tomato ketchup 750ml walkers', CAST(-6052791699241624244 AS BIGINT)),
+            ('tropicana baked beans 2l', CAST(721893531311901282 AS BIGINT)),
+            ('tropicana lemonade 400g', CAST(7651258062354455520 AS BIGINT)),
+            ('walkers cola drink 4 pack', CAST(4390486616870301160 AS BIGINT)),
+            ('walkers corn flakes 4 pack', CAST(-1222096100095879225 AS BIGINT)),
+            ('walkers corn flakes 4 pack ', CAST(-1222096100095879225 AS BIGINT)),
+            ('walkers lemonade 750ml', CAST(-9000826235861288302 AS BIGINT)),
+            ('walkers spring water 4 pack', CAST(-572196879290371367 AS BIGINT)),
+            ('walkers tomato ketchup 750ml', CAST(-6052791699241624244 AS BIGINT)),
+            ('water 330ml spring fanta ', CAST(-8182357169939086226 AS BIGINT))
+        ) AS t(product_name, cluster_id)
+    """,
+    # minhash_dedup_clusters / simhash_candidates / ann_topk: genuinely
+    # non-SQL-expressible (iterative CC, LSH banding, seeded hyperplanes) —
+    # rows-only driver check by design; their correctness gates live in
+    # tests/ (oracle parity, recall, ANN-vs-bruteforce) and in the
+    # ann_recall / substring_containment / grocery_parity_clusters oracle
+    # rows above.
 }
