@@ -86,7 +86,7 @@ def main(argv: list[str] | None = None) -> None:
         "s2_features",
         lambda: with_features(
             docs.where(F.length("text") >= cfg.min_doc_chars).select("doc_id", "text"), cfg
-        ).select("doc_id", "shingles", "minhash", "simhash"),
+        ).select("doc_id", "shingles", "minhash", "simhash", "bands"),
         metrics={"num_hashes": cfg.num_hashes, "bands": cfg.lsh_bands, "k": cfg.shingle_k},
     )
     done("s2_features")

@@ -27,6 +27,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         T.StructField("simhash", T.LongType(), False),
+        # LSH band hashes, precomputed once in the batched kernel (see
+        # hashing.band_hashes_from_signatures) and persisted — every LSH
+        # consumer reuses them instead of re-hashing signature slices
+        T.StructField("bands", T.ArrayType(T.LongType()), False),
     ]
 )
 
@@ -60,6 +64,7 @@ def make_feature_udf(cfg: DedupConfig):
     k = cfg.shingle_k
     mode = cfg.shingle_mode
     minhash_mode = cfg.minhash_mode
+    n_bands = cfg.lsh_bands
 
     @pandas_udf(FEATURE_SCHEMA)
     def features(text: pd.Series) -> pd.DataFrame:
@@ -74,11 +79,13 @@ def make_feature_udf(cfg: DedupConfig):
             sig = hashing.minhash_signatures(shingle_sets, seeds)
         tok = hashing.token_hashes_batch(texts)
         sh = hashing.simhash64(tok)
+        bands = hashing.band_hashes_from_signatures(sig, n_bands)
         return pd.DataFrame(
             {
                 "shingles": [s.view(np.int64) for s in shingle_sets],
                 "minhash": list(sig),
                 "simhash": sh,
+                "bands": list(bands),
             }
         )
 
@@ -105,5 +112,6 @@ def with_features(df, cfg: DedupConfig, text_col: str = "text"):
         out.withColumn("shingles", F.col("_f.shingles"))
         .withColumn("minhash", F.col("_f.minhash"))
         .withColumn("simhash", F.col("_f.simhash"))
+        .withColumn("bands", F.col("_f.bands"))
         .drop("_f")
     )

@@ -370,6 +370,29 @@ def simhash64(token_hash_arrays: list[np.ndarray]) -> np.ndarray:
     return out.view(np.int64)
 
 
+@_wraparound
+def band_hashes_from_signatures(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, num_hashes) signatures → (n_docs, n_bands) LSH band hashes.
+
+    Band i's hash is a mixed FNV chain over signature rows [i*r, (i+1)*r)
+    seeded with the band index — equal slices give equal hashes (the only
+    property LSH banding needs). Computed HERE, in the batched feature
+    kernel, instead of JVM-side xxhash64-over-array-slices: the JVM version
+    allocated 21 slice arrays per row per pass and was recomputed by every
+    consumer (band explode, hot-bucket re-banding), which measurably
+    inflated CPU under 32-thread concurrency; this is one vectorized numpy
+    pass, persisted with the features and reused by every consumer."""
+    n_docs, nh = sig.shape
+    r = nh // n_bands
+    s = sig.view(np.uint64).reshape(n_docs, n_bands, r)
+    h = np.full((n_docs, n_bands), 0xCBF29CE484222325, dtype=np.uint64)
+    h ^= np.arange(n_bands, dtype=np.uint64)[None, :]  # band seed
+    h = (h * _FNV_PRIME) & _U64_MAX
+    for j in range(r):
+        h = ((h ^ s[:, :, j]) * _FNV_PRIME) & _U64_MAX
+    return splitmix64(h.reshape(-1)).reshape(n_docs, n_bands).view(np.int64)
+
+
 def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Popcount of xor for int64/uint64 arrays (vectorized)."""
     x = (a.view(np.uint64) ^ b.view(np.uint64)).copy()

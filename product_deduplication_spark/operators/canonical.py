@@ -40,14 +40,21 @@ def assign_sequential_ids(
     partition.
     """
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # Pin the INPUT before range partitioning: the counts action and the
+    # id-assignment action must see the SAME partition contents. Range
+    # boundaries come from sampling, but RangePartitioner's sampling seeds
+    # are a pure function of partition index — identical input partitions
+    # (guaranteed by the checkpoint) give identical boundaries in both jobs.
+    # Checkpointing upstream of the range shuffle also means the (possibly
+    # expensive) lineage above runs ONCE, not once per pass.
+    df = df.localCheckpoint()
+    # ...and pin the RANGE PARTITIONING too: RangePartitioner samples with
+    # RDD-id-derived seeds, so each action would otherwise draw different
+    # boundaries — the counts below must describe the exact partitions the
+    # id-assignment job reads.
     ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
-    )
-    # Pin the partitioning: the counts action and the id-assignment action
-    # must see the SAME partition contents (range boundaries come from
-    # sampling — recomputing the upstream between the two jobs could move
-    # rows across partitions and duplicate/skip ids).
-    ranged = ranged.localCheckpoint()
+    ).localCheckpoint()
     counts = ranged.groupBy("_pid").count().collect()
     offsets = {}
     acc = start
@@ -79,10 +86,12 @@ def ordered_cumsum(
     must define a total order for a deterministic result.
     """
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # pin input partitions once (see assign_sequential_ids: deterministic
+    # range boundaries + single evaluation of the upstream lineage)
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(n_part, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
-    )
-    ranged = ranged.localCheckpoint()  # pin partition contents across jobs
+    ).localCheckpoint()  # pin sampled range boundaries across the two jobs
     sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
     offsets, acc = {}, 0.0
     for row in sorted(sums, key=lambda r: r["_pid"]):

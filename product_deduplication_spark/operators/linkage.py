@@ -81,7 +81,7 @@ def match_barcodes_to_canonical(
     )
     feats = with_features(unioned.select("doc_id", F.col("name").alias("text")), cfg)
     pairs = candidate_pairs(
-        feats.select("doc_id", "shingles", "minhash", "simhash"), cfg
+        feats.select("doc_id", "shingles", "minhash", "simhash", "bands"), cfg
     )
     nm = unioned.select("doc_id", "name")
     sym = pairs.unionByName(

@@ -53,7 +53,13 @@ from product_deduplication_spark.config import DedupConfig
 
 
 def band_hash_array(cfg: DedupConfig, sig_col: str = "minhash"):
-    """array<long> of per-band hashes: band i = xxhash64(i, slice of rows)."""
+    """array<long> of per-band hashes: band i = xxhash64(i, slice of rows).
+
+    Fallback for feature relations WITHOUT a precomputed ``bands`` column —
+    the feature kernel normally computes band hashes once in numpy
+    (hashing.band_hashes_from_signatures) and persists them; recomputing
+    here allocates 21 slice arrays per row per consumer, which measurably
+    inflates CPU under high thread counts."""
     r = cfg.rows_per_band
     return F.array(
         *[
@@ -63,11 +69,16 @@ def band_hash_array(cfg: DedupConfig, sig_col: str = "minhash"):
     )
 
 
+def _bands_col(features: DataFrame, cfg: DedupConfig):
+    """Persisted band-hash array if the features carry one, else computed."""
+    return F.col("bands") if "bands" in features.columns else band_hash_array(cfg)
+
+
 def explode_bands(features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
     """(band, band_hash, node) — one row per (doc, band)."""
     return features.select(
         F.col(id_col).alias("node"),
-        F.posexplode(band_hash_array(cfg)).alias("band", "band_hash"),
+        F.posexplode(_bands_col(features, cfg)).alias("band", "band_hash"),
     )
 
 
@@ -155,7 +166,7 @@ def candidate_pairs(
     # members, and the groupBys below are algebraic (map-side partials), so
     # a mega-hot bucket never concentrates raw rows on one reducer.
     arrs = features.select(
-        F.col(id_col).alias("node"), band_hash_array(cfg).alias("_bh")
+        F.col(id_col).alias("node"), _bands_col(features, cfg).alias("_bh")
     )
     big2 = (
         big.join(arrs, "node")

@@ -64,7 +64,7 @@ def grocery_dedup(
     )
     feats = with_features(names.select("doc_id", F.col("product_name").alias("text")), cfg)
     pairs = candidate_pairs(
-        feats.select("doc_id", "shingles", "minhash", "simhash"), cfg
+        feats.select("doc_id", "shingles", "minhash", "simhash", "bands"), cfg
     )
     # verification: EXACT reference predicate (V4 + V5)
     nm = names.select(F.col("doc_id"), F.col("product_name"))

@@ -128,7 +128,7 @@ def run_dedup(
 
     feats = with_features(
         eligible.select("doc_id", "text"), cfg
-    ).select("doc_id", "shingles", "minhash", "simhash")
+    ).select("doc_id", "shingles", "minhash", "simhash", "bands")
     # features feed 2-3 downstream consumers — cache once (at cluster scale
     # this stage is persisted as a snapshot table instead, see catalog.py)
     feats = feats.persist()

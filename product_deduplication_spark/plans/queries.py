@@ -821,6 +821,46 @@ def q_classification_accuracy(spark, sf):
     return classification_accuracy(links)
 
 
+_IMG_W = (
+    "ucpc_entity_uuid string, image_1 string, image_source_1 string, "
+    "image_2 string, image_source_2 string, image_3 string, image_source_3 string"
+)
+
+
+def q_agg_images_bulk(spark, sf):
+    """Reference-shape image propagation (reference/agg_images.py:60-146):
+    ALL slots of ONE chosen loser copied to the winner, bug-for-bug
+    (3P-count != 1 eligibility, exactly-one-3P / exactly-one-image cases,
+    min-loser tie-break, shift(1) Override)."""
+    from product_deduplication_spark.operators.enrichment import (
+        agg_images_bulk_reference_shape,
+    )
+
+    rel = spark.createDataFrame(
+        [("w1", "l1"), ("w2", "l2"), ("w3", "l3"), ("w4", "l4")],
+        "winner_entity_uuid string, loser_entity_uuid string",
+    )
+    imgs = spark.createDataFrame(
+        [
+            # w1 imageless; l1 has a 3P slot + a catalog slot -> case 1, both copied
+            ("l1", "http://img/l1-a.jpg", "IMAGE_SOURCE_THIRD_PARTY_APPROVED",
+             "http://img/l1-b.jpg", "IMAGE_SOURCE_CATALOG", "\\N", "\\N"),
+            # w2 has a non-3P image; l2 single non-3P image -> neither case
+            ("w2", "http://img/w2.jpg", "IMAGE_SOURCE_CATALOG", "\\N", "\\N", "\\N", "\\N"),
+            ("l2", "http://img/l2.jpg", "IMAGE_SOURCE_CATALOG", "\\N", "\\N", "\\N", "\\N"),
+            # w3 already 3P -> not eligible
+            ("w3", "http://img/w3.jpg", "IMAGE_SOURCE_THIRD_PARTY_APPROVED",
+             "\\N", "\\N", "\\N", "\\N"),
+            ("l3", "http://img/l3.jpg", "IMAGE_SOURCE_THIRD_PARTY_APPROVED",
+             "\\N", "\\N", "\\N", "\\N"),
+            # w4 imageless; l4 single non-3P image -> case 2
+            ("l4", "http://img/l4.jpg", "IMAGE_SOURCE_CATALOG", "\\N", "\\N", "\\N", "\\N"),
+        ],
+        _IMG_W,
+    )
+    return agg_images_bulk_reference_shape(rel, imgs)
+
+
 def q_ann_recall(spark, sf):
     """ANN quality gate as an oracle row: recall of LSH-bucketed ann_topk vs
     the exact brute-force top-5, over the 10 query vectors. Deterministic
@@ -905,6 +945,7 @@ QUERIES = {
     "self_pair_removal": q_self_pair_removal,
     "intersect_split": q_intersect_split,
     "classification_accuracy": q_classification_accuracy,
+    "agg_images_bulk": q_agg_images_bulk,
     "ann_recall": q_ann_recall,
 }
 
@@ -1295,6 +1336,17 @@ ORACLES = {
     """,
     "ann_recall": """
         SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS recall_ok
+    """,
+    "agg_images_bulk": """
+        SELECT * FROM (VALUES
+            ('catalog-0', 'w1', 'http://img/l1-a.jpg',
+             'IMAGE_SOURCE_THIRD_PARTY_APPROVED', CAST(NULL AS VARCHAR), 'Yes'),
+            ('catalog-0', 'w1', 'http://img/l1-b.jpg',
+             'IMAGE_SOURCE_CATALOG', CAST(NULL AS VARCHAR), 'No'),
+            ('catalog-0', 'w4', 'http://img/l4.jpg',
+             'IMAGE_SOURCE_CATALOG', CAST(NULL AS VARCHAR), 'Yes')
+        ) AS t(CatalogUUID, ProductUUID, ImageURL, ImageSource,
+               CatalogImageSource, Override)
     """,
     "substring_containment": """
         SELECT a.doc_id AS src, b.doc_id AS dst,

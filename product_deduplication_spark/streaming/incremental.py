@@ -75,7 +75,7 @@ def incremental_dedup(
 
     # feature reuse: hash ONLY the new docs
     new_feats = with_features(truly_new.select("doc_id", "text"), cfg).select(
-        "doc_id", "shingles", "minhash", "simhash"
+        "doc_id", "shingles", "minhash", "simhash", "bands"
     )
     feats = new_feats if old_feats is None else old_feats.unionByName(new_feats)
     feats = feats.persist()

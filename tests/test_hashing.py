@@ -113,3 +113,25 @@ def test_candidate_probability_scurve():
 def test_config_validation():
     with pytest.raises(ValueError):
         _ = DedupConfig(num_hashes=100, lsh_bands=32).rows_per_band
+
+
+def test_band_hashes_from_signatures_properties():
+    """Equal slices ⇔ equal band hashes; different slices ≠ (whp); band
+    index participates (same slice at different band positions differs)."""
+    import numpy as np
+
+    from product_deduplication_spark.functions.hashing import band_hashes_from_signatures
+
+    rng = np.random.default_rng(0)
+    sig = rng.integers(0, 2**63 - 1, size=(4, 12), dtype=np.int64)
+    sig[1] = sig[0]                      # doc1 identical to doc0
+    sig[2, 0:3] = sig[0, 0:3]            # doc2 shares band 0 only (r=3)
+    sig[3, 3:6] = sig[0, 0:3]            # doc3 has doc0's band-0 slice AT band 1
+    b = band_hashes_from_signatures(sig, 4)
+    assert b.shape == (4, 4)
+    assert (b[0] == b[1]).all()
+    assert b[2, 0] == b[0, 0] and (b[2, 1:] != b[0, 1:]).all()
+    # band seed: same values in a different band position hash differently
+    assert b[3, 1] != b[0, 0]
+    # deterministic
+    assert (band_hashes_from_signatures(sig, 4) == b).all()
