@@ -330,6 +330,35 @@ memory bandwidth and uncapped cores, the job's scalable structure
 hashes, key-partitioned shuffles, hot-key star/re-band controls, O(log n)
 CC rounds) is what these numbers demonstrate.
 
+## Why 8→32 tops out, and what was fixed
+
+Round-1's local[2]-beats-local[8] inversion was root-caused to two
+measurement artifacts (concurrent pytest JVMs sharing the 32 cores during
+the bench — now forbidden; and non-interleaved sampling across throttling
+windows) plus three real engine defects, all fixed this round:
+
+1. shuffle partitions scaled 4x with cores (128 at local[32]) — pure
+   per-partition fixed cost anti-scaled the candidate stage 22s → 82s;
+   partitioning is now constant across levels.
+2. LSH band hashes were re-derived JVM-side (21 slice allocations per row
+   per consumer); they are now computed once in the numpy feature kernel
+   and persisted (candidates stage 2x faster at 32 threads).
+3. 48g heap (G1 region overhead at high thread counts), always-on SimHash
+   token hashing (DRAM-heavy, unused by the MinHash path), and two driver
+   actions per CC round (eager checkpoint + signature) — now 16g, opt-in,
+   and one lazy-checkpoint action per round.
+
+Net effect: absolute throughput rose ~4x (local[8]: 823 → ~3400 docs/s on
+the same 92,716-doc corpus). What remains above 8 cores is (a) the host's
+own sub-linear grant (ALU ceiling above) and (b) shared-DRAM saturation of
+a single-box JVM: adjacent stage probes show the shuffle-bound stages
+(features 9.4→6.2s, candidates 11.2→8.4s) still gaining at 32 threads
+while bandwidth-bound verify and driver-latency-bound CC flatten. On a
+real 4N-executor cluster each executor brings its own memory bandwidth and
+the driver latency amortizes over much larger partitions — the
+key-partitioned, hot-key-capped, algebraic-agg structure these numbers
+exercise is the scalable part, and it is what the plan-shape tests pin.
+
 Reference baseline: the reference repo publishes no benchmark numbers
 (BASELINE.md); the authoritative targets are dup-pair recall >= 0.99 (gated
 in tests/test_pipeline_recall.py and tests/test_parity.py) and the scaling

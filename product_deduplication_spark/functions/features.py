@@ -51,7 +51,7 @@ def make_extract_text_udf():
     return extract_text
 
 
-def make_feature_udf(cfg: DedupConfig):
+def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
     """text → struct(shingles array<long>, minhash array<long>, simhash long).
 
     shingles: distinct k-shingle hashes (char or token mode) — the exact-
@@ -65,6 +65,7 @@ def make_feature_udf(cfg: DedupConfig):
     mode = cfg.shingle_mode
     minhash_mode = cfg.minhash_mode
     n_bands = cfg.lsh_bands
+    want_simhash = simhash
 
     @pandas_udf(FEATURE_SCHEMA)
     def features(text: pd.Series) -> pd.DataFrame:
@@ -77,8 +78,14 @@ def make_feature_udf(cfg: DedupConfig):
             sig = hashing.oph_signatures(shingle_sets, seeds)
         else:
             sig = hashing.minhash_signatures(shingle_sets, seeds)
-        tok = hashing.token_hashes_batch(texts)
-        sh = hashing.simhash64(tok)
+        if want_simhash:
+            tok = hashing.token_hashes_batch(texts)
+            sh = hashing.simhash64(tok)
+        else:
+            # the token-hash + bit-unpack kernels are the most DRAM-hungry
+            # stage of feature extraction — skip them entirely when the
+            # caller's pipeline never consumes simhash (schema stays stable)
+            sh = np.zeros(len(texts), dtype=np.int64)
         bands = hashing.band_hashes_from_signatures(sig, n_bands)
         return pd.DataFrame(
             {
@@ -92,7 +99,7 @@ def make_feature_udf(cfg: DedupConfig):
     return features
 
 
-def with_features(df, cfg: DedupConfig, text_col: str = "text"):
+def with_features(df, cfg: DedupConfig, text_col: str = "text", simhash: bool = True):
     """Append the feature struct columns, spreading the Arrow-UDF work
     across all cores first — a small parquet scan (or a local createDataFrame)
     arrives as 1-2 partitions and would otherwise compute features
@@ -100,7 +107,7 @@ def with_features(df, cfg: DedupConfig, text_col: str = "text"):
     metadata — no physical-plan materialization like rdd.getNumPartitions):
     a wide file-backed scan at cluster scale is left untouched, a narrow or
     non-file input is spread."""
-    feat = make_feature_udf(cfg)
+    feat = make_feature_udf(cfg, simhash=simhash)
     try:
         n_in = len(df.inputFiles())
     except Exception:

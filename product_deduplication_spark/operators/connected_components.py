@@ -76,7 +76,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     prev_sig = None
     for _ in range(max_iter):
         e = _canonical(_large_star(e))
-        e = _canonical(_small_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature action below materializes it, so a
+        # round costs ONE driver round-trip, not two (the per-round driver
+        # latency is the pipeline's main serial fraction at high core counts)
+        e = _canonical(_small_star(e)).localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev_sig:
             break

@@ -79,7 +79,7 @@ def match_barcodes_to_canonical(
     unioned = left_names.unionByName(right_names).distinct().withColumn(
         "doc_id", F.xxhash64("name")
     )
-    feats = with_features(unioned.select("doc_id", F.col("name").alias("text")), cfg)
+    feats = with_features(unioned.select("doc_id", F.col("name").alias("text")), cfg, simhash=False)
     pairs = candidate_pairs(
         feats.select("doc_id", "shingles", "minhash", "simhash", "bands"), cfg
     )

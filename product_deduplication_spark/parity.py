@@ -62,7 +62,7 @@ def grocery_dedup(
     names = clean.select("product_name").distinct().withColumn(
         "doc_id", F.xxhash64("product_name")
     )
-    feats = with_features(names.select("doc_id", F.col("product_name").alias("text")), cfg)
+    feats = with_features(names.select("doc_id", F.col("product_name").alias("text")), cfg, simhash=False)
     pairs = candidate_pairs(
         feats.select("doc_id", "shingles", "minhash", "simhash", "bands"), cfg
     )

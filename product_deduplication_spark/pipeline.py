@@ -127,7 +127,7 @@ def run_dedup(
     eligible = docs.where(F.length("text") >= cfg.min_doc_chars)
 
     feats = with_features(
-        eligible.select("doc_id", "text"), cfg
+        eligible.select("doc_id", "text"), cfg, simhash=use_simhash
     ).select("doc_id", "shingles", "minhash", "simhash", "bands")
     # features feed 2-3 downstream consumers — cache once (at cluster scale
     # this stage is persisted as a snapshot table instead, see catalog.py)
