@@ -44,9 +44,12 @@ def minhash_estimate_prefilter(
         lambda acc, x: acc + x,
     ) / F.lit(cfg.num_hashes)
     cutoff = max(0.0, cfg.jaccard_threshold - cfg.prefilter_margin)
+    # merge hints: the signature sides grow with the corpus — never allow
+    # a (mis-estimated) broadcast of them (measured: a static broadcast of
+    # an array-carrying features relation aborted the driver at 370k docs)
     return (
-        pairs.join(a, "src")
-        .join(b, "dst")
+        pairs.join(a.hint("merge"), "src")
+        .join(b.hint("merge"), "dst")
         .where(est >= F.lit(cutoff))
         .select("src", "dst")
     )
@@ -64,7 +67,7 @@ def verify_pairs(
     feat = features.select(F.col(id_col).alias("_fid"), F.col("shingles").alias("_sh"))
     a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
     b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")
-    joined = pairs.join(a, "src").join(b, "dst")
+    joined = pairs.join(a.hint("merge"), "src").join(b.hint("merge"), "dst")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_union("_sh_a", "_sh_b"))
     sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10MB. 64MB was a scale bug: size ESTIMATES for
+        # not-yet-materialized cached/UDF relations run far below reality,
+        # and a statically-chosen broadcast of an array<long>-carrying
+        # features relation collected ~1 GiB to the driver at 370k docs
+        # (maxResultSize abort). Genuinely small dims use explicit
+        # F.broadcast hints, which override this threshold anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
