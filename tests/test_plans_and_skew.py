@@ -173,3 +173,22 @@ def test_canonical_upsert_never_forces_broadcast(spark):
                 # offsets map inside assign_sequential_ids
                 nxt = lines[i + 1] if i + 1 < len(lines) else ""
                 assert "_pid" in nxt and "_offset" in nxt, "\n".join(lines[i : i + 3])
+
+
+def test_verify_join_never_broadcasts_features(spark):
+    """The signature/shingle sides of verify_pairs grow with the corpus —
+    the plan must use merge joins there regardless of (mis)estimated sizes
+    (regression: a static broadcast of the features side collected ~1 GiB
+    to the driver at 370k docs)."""
+    from product_deduplication_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    feats = with_features(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(20), "text": [f"doc text {i} " * 20 for i in range(20)]})
+        ),
+        cfg,
+    ).select("doc_id", "shingles", "minhash", "simhash", "bands")
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    plan = _plan(verify_pairs(pairs, feats, cfg))
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
