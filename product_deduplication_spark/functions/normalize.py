@@ -114,17 +114,182 @@ def promo_scrub(df: DataFrame, col: str) -> DataFrame:
 
 
 def normalize_names(df: DataFrame, col: str = "item_name", stop_list: list[str] | None = None,
-                    regex_clean: bool = True, fixed_stop_words: bool = False) -> DataFrame:
+                    regex_clean: bool = True, fixed_stop_words: bool = False,
+                    lemmatize_mode: str = "identity") -> DataFrame:
     """The full nlp_cleaning chain (static.py:40-56) → ``product_name``.
 
-    Lemmatization is identity here (no WordNet in the sandbox; the reference
-    engine's webtext path never lemmatizes — SURVEY.md P9)."""
+    ``lemmatize_mode``: the reference lemmatizes each token with WordNet
+    (static.py:36-38,48). The sandbox has no WordNet corpus, so the default
+    is identity (documented deviation, SURVEY.md P9); ``"porter"`` applies
+    the self-contained Porter stemmer below — a rule-based approximation
+    that needs no corpus download."""
     out = clean_text_cols(df, col, "item_name_norm")
     out = remove_stop_words(out, "item_name_norm", stop_list or [], fixed=fixed_stop_words)
+    if lemmatize_mode == "porter":
+        out = stem_tokens(out, "item_name_norm_stop", "item_name_norm_stop")
     out = drop_dot_tokens(out, "item_name_norm_stop", "product_name")
     if regex_clean:
         out = promo_scrub(out, "product_name")
     return out
+
+
+# -- Porter stemmer (P9 lemmatize stand-in) ---------------------------------
+# Self-contained implementation of the Porter stemming algorithm
+# (M.F. Porter, "An algorithm for suffix stripping", Program 14(3), 1980 —
+# public algorithm). Stands in for the reference's WordNet lemmatizer
+# (reference/static.py:36-38,48), which needs a corpus download the sandbox
+# forbids. Pure python on purpose: it runs inside an Arrow-batched UDF over
+# token arrays, and per-token cost is dominated by the regexless rule table.
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences ("measure" m in the paper)."""
+    m, prev_c = 0, True
+    started = False
+    for i in range(len(stem)):
+        c = _is_cons(stem, i)
+        if not c:
+            started = True
+        if c and started and not prev_c:
+            m += 1
+        prev_c = c
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _ends_cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if not (_is_cons(word, len(word) - 3) and not _is_cons(word, len(word) - 2) and _is_cons(word, len(word) - 1)):
+        return False
+    return word[-1] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemmer, steps 1a-5b, standard behavior
+    (caresses→caress, ponies→poni, relational→relat, hopeful→hope...)."""
+    w = word
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+                w = w[:-1]
+            elif _measure(w) == 1 and _ends_cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2 (m > 0)
+    _STEP2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3 (m > 0)
+    _STEP3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4 (m > 1)
+    _STEP4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def stem_tokens(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Porter-stem each whitespace token of ``col``, re-join with single
+    spaces (the token-wise shape of the reference's lemmatize loop,
+    static.py:48). Arrow-batched — one UDF call per batch, tokens stemmed
+    in a flat loop."""
+
+    @pandas_udf(T.StringType())
+    def _stem(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: " ".join(porter_stem(t) for t in v.split()) if v is not None else None
+        )
+
+    return df.withColumn(out, _stem(F.col(col)))
 
 
 _PACKAGE_PATTERN = re.compile(PACKAGE_RE)

@@ -138,6 +138,102 @@ def bootstrap_canonical(groups: DataFrame, start_id: int = 1) -> tuple[DataFrame
     return catalog.drop("group_id"), links
 
 
+def append_missing_members(
+    catalog: DataFrame, links: DataFrame, missing: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The appends_uuids flow end-to-end (reference/appends_uuids.py:122-144):
+
+    1. normalize the missing items' names (nlp_regex_cleaning,
+       ``appends_uuids.py:27-40``) → product_name
+    2. drop items whose item_uuid is already linked (``:52-53``)
+    3. U5 split on product_name ∈ links.canonical_member (``:55-58``)
+    4. members NOT on canonical each become a catalog row with a fresh
+       sequential id from max(canonical_id)+1 (``:64-81``). Bug-for-bug:
+       duplicate product_names mint MULTIPLE catalog rows, and the links
+       mapping resolves each name to its LAST (= max) id — the reference's
+       dict(zip(leader, id)) last-wins overwrite (``:89,100``).
+    5. members ON canonical link to the id their member name holds in the
+       links table (``:96-97``); leader + agent_verified come from the
+       catalog by id (``:108-113``).
+
+    Documented deviation: the reference assigns new ids in input-file row
+    order, which a distributed table does not have — ids here are assigned
+    in sorted (product_name, item_uuid) order (deterministic total order).
+    The member→id last-wins dict is likewise resolved as max(canonical_id)
+    per name. Returns (catalog', links').
+    """
+    from product_deduplication_spark.functions.normalize import normalize_names
+
+    if "agent_verified" not in catalog.columns:
+        catalog = catalog.withColumn("agent_verified", F.lit(0).cast("long"))
+
+    nlp = normalize_names(missing, "item_name").select(
+        "item_uuid", "item_name", F.lower(F.trim("product_name")).alias("product_name")
+    )
+    # 2. uuids already linked are dropped entirely
+    fresh = nlp.join(links.select("item_uuid"), "item_uuid", "left_anti")
+
+    member_names = links.select(
+        F.lower(F.trim("canonical_member")).alias("product_name")
+    ).distinct()
+    on_canon = fresh.join(member_names, "product_name", "left_semi")
+    not_canon = fresh.join(member_names, "product_name", "left_anti")
+
+    # 4. one catalog row PER missing row (duplicates included — reference
+    # concat semantics), ids above the current max
+    max_id = catalog.agg(F.coalesce(F.max("canonical_id"), F.lit(0))).collect()[0][0]
+    minted = assign_sequential_ids(
+        not_canon, ["product_name", "item_uuid"], "canonical_id", int(max_id) + 1
+    )
+    catalog2 = catalog.unionByName(
+        minted.select(
+            "canonical_id",
+            F.col("product_name").alias("canonical_leader"),
+            F.lit(0).cast("long").alias("agent_verified"),
+        )
+    )
+
+    # last-wins leader→id map over the FULL appended catalog (new ids > old)
+    leader_map = catalog2.groupBy("canonical_leader").agg(
+        F.max("canonical_id").alias("canonical_id")
+    )
+    id_attrs = catalog2.select(
+        "canonical_id", "canonical_leader", "agent_verified"
+    ).dropDuplicates(["canonical_id"])
+
+    new_not = (
+        minted.drop("canonical_id")
+        .join(leader_map, minted["product_name"] == leader_map["canonical_leader"])
+        .select(
+            "item_uuid",
+            "item_name",
+            "canonical_id",
+            "canonical_leader",
+            F.col("product_name").alias("canonical_member"),
+            F.lit(0).cast("long").alias("agent_verified"),
+        )
+    )
+
+    member_map = links.groupBy(
+        F.lower(F.trim("canonical_member")).alias("product_name")
+    ).agg(F.max("canonical_id").alias("canonical_id"))
+    new_on = (
+        on_canon.join(member_map, "product_name")
+        .join(id_attrs, "canonical_id")
+        .select(
+            "item_uuid",
+            "item_name",
+            "canonical_id",
+            "canonical_leader",
+            F.col("product_name").alias("canonical_member"),
+            "agent_verified",
+        )
+    )
+
+    links2 = links.unionByName(new_on).unionByName(new_not)
+    return catalog2, links2
+
+
 def upsert_canonical(
     catalog: DataFrame, links: DataFrame, groups: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

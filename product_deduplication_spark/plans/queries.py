@@ -170,13 +170,21 @@ def q_distinct(spark, sf):
     return li.select("l_returnflag", "l_linestatus").distinct()
 
 
-def q_count_distinct(spark, sf):
-    """A8 len(set(col)) (reference/validation.py:10-36)."""
+def q_scalar_aggs(spark, sf):
+    """A8 len(set(col)) count-distinct (reference/validation.py:10-36) +
+    A7 max() for id assignment (reference/clean_canonical.py:47) — two
+    scalar aggregates crossed into one row."""
     li = _t(spark, sf, "lineitem")
-    return li.agg(
+    o = _t(spark, sf, "orders")
+    cd = li.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
         F.countDistinct("l_partkey").cast("long").alias("n_parts"),
     )
+    mx = o.agg(
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return cd.crossJoin(mx)
 
 
 def q_keep_first_argmax(spark, sf):
@@ -197,15 +205,6 @@ def q_string_concat_agg(spark, sf):
     s = _t(spark, sf, "supplier")
     return s.groupBy("s_nationkey").agg(
         F.array_join(F.array_sort(F.collect_set("s_name")), ",").alias("names_csv")
-    )
-
-
-def q_max_scalar(spark, sf):
-    """A7 max() for id assignment (reference/clean_canonical.py:47)."""
-    o = _t(spark, sf, "orders")
-    return o.agg(
-        F.max("o_orderkey").cast("long").alias("max_key"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
 
 
@@ -355,66 +354,44 @@ def q_exact_dup_groups(spark, sf):
     return counts.where(F.col("group_size") > 1).select("text_hash", "leader", "group_size")
 
 
-def q_token_count(spark, sf):
-    """Token counting (training-data op; P8 tokenize analog,
-    reference/static.py:46)."""
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("n_unique_tokens"),
-    )
-
-
-def q_quality_score(spark, sf):
-    """Quality scoring (training-data op): length/diversity blend —
-    same weighted-completeness shape as reference/winner_selection.py:28-64."""
-    d = _t(spark, sf, "documents")
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
-    avg_tok_len = (F.length("text") - n_tok + 1) / n_tok
-    score = (
-        0.4 * F.least(n_tok / F.lit(300.0), F.lit(1.0))
-        + 0.4 * uniq_ratio
-        + 0.2 * F.least(avg_tok_len / F.lit(8.0), F.lit(1.0))
-    )
-    return d.select("doc_id", F.round(score, 4).alias("quality"))
-
-
-def q_lang_stopword_ratio(spark, sf):
-    """Language-ID heuristic (training-data op): ratio of common-English
-    function words per doc + agreement flag with the labeled lang column."""
+def q_text_quality_stats(spark, sf):
+    """Text-analysis suite in one scan (training-data ops, merged so every
+    operator's row fits the driver's 50-query CORRECTNESS window):
+    token counting (P8 analog, reference/static.py:46), quality scoring
+    (weighted-completeness shape of reference/winner_selection.py:28-64),
+    and the language-ID stop-word heuristic."""
     d = _t(spark, sf, "documents")
     stop = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
     toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    avg_tok_len = (F.length("text") - n_tok + 1) / n_tok
+    quality = (
+        0.4 * F.least(n_tok / F.lit(300.0), F.lit(1.0))
+        + 0.4 * (n_uniq / n_tok)
+        + 0.2 * F.least(avg_tok_len / F.lit(8.0), F.lit(1.0))
+    )
     n_stop = F.size(F.filter(toks, lambda x: x.isin(stop)))
-    ratio = F.round(n_stop / F.size(toks), 4)
+    ratio = F.round(n_stop / n_tok, 4)
     return d.select(
         "doc_id",
         "lang",
+        n_tok.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_unique_tokens"),
+        F.round(quality, 4).alias("quality"),
         ratio.alias("stopword_ratio"),
         (ratio >= 0.03).cast("int").alias("looks_en"),
     )
 
 
-def q_doc_fingerprint(spark, sf):
-    """Document fingerprinting (training-data op): min/max token digest —
-    an order-insensitive content fingerprint expressible in both engines."""
-    d = _t(spark, sf, "documents")
-    toks = F.array_distinct(F.split("text", " "))
-    hashed = F.transform(toks, lambda t: F.md5(t))
-    return d.select(
-        "doc_id",
-        F.array_min(hashed).alias("fp_min"),
-        F.array_max(hashed).alias("fp_max"),
-    )
-
-
-def q_bigram_stats(spark, sf):
-    """n-gram shingling stats (V1 analog — k-shingle cardinality per doc)."""
+def q_fingerprint_bigrams(spark, sf):
+    """Document fingerprinting (min/max token digest — order-insensitive
+    content fingerprint) + n-gram shingling stats (V1 analog: k-shingle
+    cardinality per doc), one scan."""
     d = _t(spark, sf, "documents")
     toks = F.split("text", " ")
+    uniq = F.array_distinct(toks)
+    hashed = F.transform(uniq, lambda t: F.md5(t))
     idx = F.sequence(F.lit(1), F.size(toks) - 1)
     bigrams = F.transform(
         idx,
@@ -422,6 +399,8 @@ def q_bigram_stats(spark, sf):
     )
     return d.select(
         "doc_id",
+        F.array_min(hashed).alias("fp_min"),
+        F.array_max(hashed).alias("fp_max"),
         F.size(F.array_distinct(bigrams)).cast("long").alias("n_unique_bigrams"),
     )
 
@@ -429,7 +408,12 @@ def q_bigram_stats(spark, sf):
 def q_token_jaccard_pairs(spark, sf):
     """n-gram Jaccard near-dup (training-data dedup op; V4 verification
     analog, reference/static.py:203-215): token-set Jaccard >= 0.5 for
-    query docs (doc_id < 50) vs the corpus."""
+    query docs (doc_id < 50) vs the corpus.
+
+    ORACLE-PARITY TWIN: this is the brute-force theta join, kept because it
+    is directly SQL-expressible for the DuckDB comparator. The ENGINE path
+    for the same question is :func:`q_token_jaccard_lsh` (LSH candidates +
+    exact verify — same oracle, no O(q x corpus) join)."""
     d = _t(spark, sf, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
@@ -444,6 +428,51 @@ def q_token_jaccard_pairs(spark, sf):
         .withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_token_jaccard_lsh(spark, sf):
+    """ENGINE path of q_token_jaccard_pairs — identical output, scalable
+    plan: MinHash-LSH candidates over token 1-gram shingles restricted to
+    the query docs (``delta_ids`` — only (query, any) pairs are generated),
+    then exact token-set Jaccard on the candidates. Same DuckDB oracle as
+    the theta twin; r=2 rows/band x 63 bands puts the S-curve at
+    1-(1-0.25)^63 ~ 1-1e-8 at s=0.5, so recall vs the brute force is 1.0
+    (candidate misses at the threshold are ~1e-8)."""
+    from product_deduplication_spark.functions.features import with_features
+    from product_deduplication_spark.operators.lsh import candidate_pairs
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    cfg = DedupConfig(
+        shingle_mode="token",
+        shingle_k=1,
+        num_hashes=126,
+        lsh_bands=63,
+        jaccard_threshold=0.5,
+        # delta mode prunes to buckets touching the 50 query docs, so full
+        # pair enumeration stays bounded — no hub-star approximation here
+        # (a star edge could drop a (query, other) pair from the output)
+        bucket_cap=4096,
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    feats = with_features(d, cfg, simhash=False).select("doc_id", "minhash", "bands")
+    query_ids = d.where(F.col("doc_id") < 50).select("doc_id")
+    # delta mode: every emitted pair touches a query doc; src<dst and the
+    # delta side is doc_id<50, so src is always the query side
+    cand = candidate_pairs(feats, cfg, delta_ids=query_ids)
+    toks = _t(spark, sf, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size(F.array_union("toks_a", "toks_b"))
+    return (
+        cand.join(a.hint("merge"), "src")
+        .join(b.hint("merge"), "dst")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= 0.5)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "jaccard")
     )
 
 
@@ -541,13 +570,21 @@ def q_winner_scoring(spark, sf):
 
 def q_normalize_reference_chain(spark, sf):
     """P3/P5/P6/P10 reference normalize chain (reference/static.py:24-56)
-    over part names — lower/trim, special-char strip, token re-join."""
+    over part names — lower/trim, special-char strip, token re-join, promo
+    scrub (``product_name``) — plus the P9 lemmatize-identity chain
+    (``lemma``: same chain, no regex scrub, lemmatization passes tokens
+    through unchanged — no WordNet in the sandbox, documented deviation,
+    SURVEY.md P9)."""
     from product_deduplication_spark.functions.normalize import normalize_names
 
     p = _t(spark, sf, "part").select(
         "p_partkey", F.col("p_name").alias("item_name")
     )
-    return normalize_names(p, "item_name").select("p_partkey", "product_name")
+    full = normalize_names(p, "item_name").select("p_partkey", "product_name")
+    ident = normalize_names(p, "item_name", regex_clean=False).select(
+        "p_partkey", F.col("product_name").alias("lemma")
+    )
+    return full.join(ident, "p_partkey")
 
 
 def q_substring_containment(spark, sf):
@@ -666,92 +703,109 @@ def q_canonical_upsert(spark, sf):
     return links2
 
 
-def q_title_case(spark, sf):
-    """P4 title-casing, BOTH semantics (reference/clean_canonical.py:57-65):
-    JVM initcap vs pandas str.title (capitalizes after any non-alpha)."""
-    from product_deduplication_spark.functions.normalize import title_case
+def q_normalize_fixture_suite(spark, sf):
+    """Normalize-function fixtures in one query (each column pins one
+    operator):
+
+    - P4 title-casing, BOTH semantics (reference/clean_canonical.py:57-65):
+      JVM initcap vs pandas str.title (capitalizes after any non-alpha)
+    - P7 stop-word removal, bug-for-bug AND fixed (reference/static.py:32-34:
+      the whole-string membership test is a no-op unless the entire value is
+      a stop word)
+    - P9 lemmatize stand-in: the self-contained Porter stemmer
+      (``lemmatize_mode="porter"`` — reference/static.py:36-38,48 uses
+      WordNet, unavailable in the sandbox; default stays identity for
+      parity)
+    """
+    from product_deduplication_spark.functions.normalize import (
+        remove_stop_words,
+        stem_tokens,
+        title_case,
+    )
 
     df = spark.createDataFrame(
-        [("coca-cola 330ml",), ("HEINZ beans",), ("o'briens crisps 6x25g",)],
+        [
+            ("coca-cola 330ml",),
+            ("HEINZ beans",),
+            ("o'briens crisps 6x25g",),
+            ("the",),
+            ("the beans and rice",),
+            ("a",),
+            ("fresh bread",),
+            ("caresses ponies flies agreed",),
+            ("relational conditional rational meetings",),
+            ("triplicate formative electrical hopeful goodness",),
+        ],
         "name string",
     )
+    stop = ["the", "and", "a"]
     df = title_case(df, "name", "initcap_name", pandas_semantics=False)
     df = title_case(df, "name", "title_name", pandas_semantics=True)
-    return df
-
-
-def q_stop_words(spark, sf):
-    """P7 stop-word removal, bug-for-bug AND fixed (reference/static.py:32-34:
-    the whole-string membership test is a no-op unless the entire value is a
-    stop word)."""
-    from product_deduplication_spark.functions.normalize import remove_stop_words
-
-    stop = ["the", "and", "a"]
-    df = spark.createDataFrame(
-        [("the",), ("the beans and rice",), ("a",), ("fresh bread",)], "name string"
-    )
-    buggy = remove_stop_words(df, "name", stop, fixed=False).withColumnRenamed(
+    df = remove_stop_words(df, "name", stop, fixed=False).withColumnRenamed(
         "name_stop", "buggy"
     )
-    return remove_stop_words(buggy, "name", stop, fixed=True).withColumnRenamed(
+    df = remove_stop_words(df, "name", stop, fixed=True).withColumnRenamed(
         "name_stop", "fixed"
-    ).select("name", "buggy", "fixed")
-
-
-def q_lemmatize_identity(spark, sf):
-    """P9 lemmatize — identity in this sandbox (no WordNet; documented
-    deviation, SURVEY.md P9): the chain must pass tokens through unchanged."""
-    from product_deduplication_spark.functions.normalize import normalize_names
-
-    p = _t(spark, sf, "part").select("p_partkey", F.col("p_name").alias("item_name"))
-    out = normalize_names(p, "item_name", regex_clean=False)
-    return out.select("p_partkey", F.col("product_name").alias("lemma"))
-
-
-def q_sentinel_replace(spark, sf):
-    r"""P12 '\N' sentinel → NULL (reference/agg_images.py:36,76)."""
-    df = spark.createDataFrame(
-        [("r1", "\\N"), ("r2", "img.jpg"), ("r3", None)], "row_id string, image string"
     )
-    return df.replace("\\N", None, subset=["image"])
+    df = stem_tokens(df, "name", "stemmed")
+    return df.select("name", "initcap_name", "title_name", "buggy", "fixed", "stemmed")
 
 
-def q_masked_update(spark, sf):
-    """P18 masked conditional update (df.loc[mask, col] = value;
-    reference/agg_barcodes_to_winner.py:96-102 suppression idiom)."""
+def q_sentinel_masked_coalesce(spark, sf):
+    r"""Three operators in one part-table pass (merged for the 50-row
+    CORRECTNESS window):
+
+    - P12 '\N' sentinel → NULL via ``df.replace`` (reference/agg_images.py:
+      36,76) — a sentinel-bearing column is synthesized from p_container
+    - P18 masked conditional update (df.loc[mask, col] = value;
+      reference/agg_barcodes_to_winner.py:96-102 suppression idiom)
+    - U6 column-pair coalesce-join (reference/agg_barcodes_to_winner.py
+      winner/loser slot coalescing, enrichment.py:102-118 shape): left join
+      a keyed fallback and coalesce it under the (nulled) primary
+    """
     p = _t(spark, sf, "part")
-    return p.select(
+    fallback = spark.createDataFrame(
+        [("Brand#11", "b-eleven"), ("Brand#23", "b-twentythree")],
+        "p_brand string, brand_label string",
+    )
+    p = p.withColumn(
+        "image",
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("\\N")).otherwise(F.col("p_type")),
+    ).replace("\\N", None, subset=["image"])
+    p = p.withColumn(
+        "brand_fixed",
+        F.when(F.col("p_size") < 5, F.lit("BULK-SMALL")).otherwise(F.col("p_brand")),
+    )
+    return p.join(F.broadcast(fallback), "p_brand", "left").select(
         "p_partkey",
-        F.when(F.col("p_size") < 5, F.lit("BULK-SMALL"))
-        .otherwise(F.col("p_brand"))
-        .alias("brand_fixed"),
+        "image",
+        "brand_fixed",
+        F.coalesce("image", "brand_label").alias("v"),
     )
 
 
-def q_dict_map_join(spark, sf):
+def q_dict_join_replace(spark, sf):
     """P19 dict map → broadcast join (reference/winner_selection.py:97,
-    links_fix.py:30-33): unmatched keys get NULL. The dict side is a bounded
-    literal — broadcasting it is correct."""
+    links_fix.py:30-33): unmatched keys get NULL — and P20 dict replace →
+    left join + coalesce (keep original when no entry;
+    reference/clean_canonical.py:130-135). Both dict sides are bounded
+    literals — broadcasting them is correct."""
     tiers = spark.createDataFrame(
         [("BUILDING", 1), ("AUTOMOBILE", 2), ("MACHINERY", 3)],
         "c_mktsegment string, tier int",
     )
-    c = _t(spark, sf, "customer")
-    return c.join(F.broadcast(tiers), "c_mktsegment", "left").select(
-        "c_custkey", F.col("tier").cast("long").alias("tier")
-    )
-
-
-def q_dict_replace_coalesce(spark, sf):
-    """P20 dict replace → left join + coalesce (keep original when no entry;
-    reference/clean_canonical.py:130-135)."""
     repl = spark.createDataFrame(
         [("BUILDING", "bldg"), ("FURNITURE", "furn")], "c_mktsegment string, _short string"
     )
     c = _t(spark, sf, "customer")
-    return c.join(F.broadcast(repl), "c_mktsegment", "left").select(
-        "c_custkey",
-        F.coalesce(F.col("_short"), F.col("c_mktsegment")).alias("segment_repl"),
+    return (
+        c.join(F.broadcast(tiers), "c_mktsegment", "left")
+        .join(F.broadcast(repl), "c_mktsegment", "left")
+        .select(
+            "c_custkey",
+            F.col("tier").cast("long").alias("tier"),
+            F.coalesce(F.col("_short"), F.col("c_mktsegment")).alias("segment_repl"),
+        )
     )
 
 
@@ -768,45 +822,59 @@ def q_topn_per_key(spark, sf):
     )
 
 
-def q_coalesce_pair_join(spark, sf):
-    """U6 column-pair coalesce-join (reference/agg_barcodes_to_winner.py
-    winner/loser slot coalescing — enrichment.py:102-118 shape)."""
-    a = spark.createDataFrame(
-        [("k1", "a1"), ("k2", None), ("k3", None)], "key string, v_primary string"
-    )
-    b = spark.createDataFrame(
-        [("k1", "b1"), ("k2", "b2")], "key string, v_fallback string"
-    )
-    return (
-        a.join(b, "key", "left")
-        .select("key", F.coalesce("v_primary", "v_fallback").alias("v"))
-    )
-
-
-def q_self_pair_removal(spark, sf):
+def q_pair_edge_ops(spark, sf):
     """V6 self-pair removal + direction canonicalization
-    (reference/static.py:196-201 diagonal drop; lsh.py src<dst)."""
+    (reference/static.py:196-201 diagonal drop; lsh.py src<dst), composed
+    with U5 isin-both-directions split (reference/appends_uuids.py:56-58):
+    the canonical edges' src side is flagged by membership in a probe set —
+    semi/anti pair in one pass."""
     edges = spark.createDataFrame(
-        [("a", "b"), ("b", "a"), ("a", "a"), ("c", "d"), ("d", "c"), ("e", "e")],
+        [("a", "b"), ("b", "a"), ("a", "a"), ("c", "d"), ("d", "c"), ("e", "e"), ("b", "c")],
         "x string, y string",
     )
-    return (
+    probe = spark.createDataFrame([("a",), ("c",), ("z",)], "src string")
+    canon = (
         edges.where(F.col("x") != F.col("y"))
-        .select(
-            F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst")
-        )
+        .select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
         .distinct()
     )
+    in_p = canon.join(probe, "src", "left_semi").withColumn("in_probe", F.lit(1))
+    not_p = canon.join(probe, "src", "left_anti").withColumn("in_probe", F.lit(0))
+    return in_p.unionByName(not_p)
 
 
-def q_intersect_split(spark, sf):
-    """U5 isin-both-directions split (reference/appends_uuids.py:56-58):
-    rows of A flagged by membership in B — semi/anti pair in one pass."""
-    a = spark.createDataFrame([("i1",), ("i2",), ("i3",), ("i4",)], "id string")
-    b = spark.createDataFrame([("i2",), ("i4",), ("i9",)], "id string")
-    in_b = a.join(b, "id", "left_semi").withColumn("in_both", F.lit(1))
-    not_b = a.join(b, "id", "left_anti").withColumn("in_both", F.lit(0))
-    return in_b.unionByName(not_b)
+def q_appends_uuids_flow(spark, sf):
+    """End-to-end appends_uuids composition (reference/appends_uuids.py:
+    122-144): normalize missing items, drop uuids already linked, U5-split
+    on canonical membership, direct-link the members-on-canonical, mint new
+    canonical entities for the rest, return the appended links."""
+    from product_deduplication_spark.operators.canonical import append_missing_members
+
+    links = spark.createDataFrame(
+        [
+            ("u1", "Alpha One", 1, "alpha one", "alpha one", 0),
+            ("u2", "ALFA One", 1, "alpha one", "alfa one", 0),
+            ("u3", "Beta Two", 2, "beta two", "beta two", 0),
+        ],
+        "item_uuid string, item_name string, canonical_id long, "
+        "canonical_leader string, canonical_member string, agent_verified long",
+    )
+    catalog = spark.createDataFrame(
+        [(1, "alpha one", 0), (2, "beta two", 0)],
+        "canonical_id long, canonical_leader string, agent_verified long",
+    )
+    missing = spark.createDataFrame(
+        [
+            ("u2", "ALFA One"),        # uuid already linked -> dropped
+            ("m1", "Alfa One! "),      # normalizes to existing member 'alfa one'
+            ("m2", "Gamma@ Three"),    # new -> fresh canonical id 3
+            ("m3", "delta four"),      # new -> fresh canonical id 4
+            ("m4", "Gamma Three"),     # duplicate new leader -> same id as m2
+        ],
+        "item_uuid string, item_name string",
+    )
+    _cat2, links2 = append_missing_members(catalog, links, missing)
+    return links2
 
 
 def q_classification_accuracy(spark, sf):
@@ -888,6 +956,10 @@ def q_ann_recall(spark, sf):
 # registry + oracles
 # --------------------------------------------------------------------------
 
+# EXACTLY 50 entries: the driver records the first 50 registry rows in
+# CORRECTNESS_r{N}.json, so every operator's oracle row must sit inside that
+# window — trivial VALUES fixtures were merged (each merged query still pins
+# every constituent operator via its own aliased column or row subset).
 QUERIES = {
     "scan_filter_project": q_scan_filter_project,
     "normalize_lower_trim": q_normalize_lower_trim,
@@ -901,26 +973,24 @@ QUERIES = {
     "anti_join": q_anti_join,
     "groupby_agg": q_groupby_agg,
     "distinct": q_distinct,
-    "count_distinct": q_count_distinct,
+    "scalar_aggs": q_scalar_aggs,
     "keep_first_argmax": q_keep_first_argmax,
     "string_concat_agg": q_string_concat_agg,
-    "max_scalar": q_max_scalar,
     "pareto_cumsum": q_pareto_cumsum,
     "dup_flag": q_dup_flag,
     "window_lag": q_window_lag,
     "group_argmax": q_group_argmax,
     "first_vs_rest": q_first_vs_rest,
     "topk_orders": q_topk_orders,
+    "topn_per_key": q_topn_per_key,
     "union_distinct": q_union_distinct,
     "unpivot": q_unpivot,
     "explode_tokens": q_explode_tokens,
     "exact_dup_groups": q_exact_dup_groups,
-    "token_count": q_token_count,
-    "quality_score": q_quality_score,
-    "lang_stopword_ratio": q_lang_stopword_ratio,
-    "doc_fingerprint": q_doc_fingerprint,
-    "bigram_stats": q_bigram_stats,
+    "text_quality_stats": q_text_quality_stats,
+    "fingerprint_bigrams": q_fingerprint_bigrams,
     "token_jaccard_pairs": q_token_jaccard_pairs,
+    "token_jaccard_lsh": q_token_jaccard_lsh,
     "knn_cosine": q_knn_cosine,
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "simhash_candidates": q_simhash_candidates,
@@ -929,25 +999,21 @@ QUERIES = {
     "normalize_reference_chain": q_normalize_reference_chain,
     "substring_containment": q_substring_containment,
     "ann_topk": q_ann_topk,
+    "ann_recall": q_ann_recall,
     "grocery_parity_clusters": q_grocery_parity_clusters,
     "csv_roundtrip": q_csv_roundtrip,
     "bootstrap_canonical": q_bootstrap_canonical,
     "canonical_upsert": q_canonical_upsert,
-    "title_case": q_title_case,
-    "stop_words": q_stop_words,
-    "lemmatize_identity": q_lemmatize_identity,
-    "sentinel_replace": q_sentinel_replace,
-    "masked_update": q_masked_update,
-    "dict_map_join": q_dict_map_join,
-    "dict_replace_coalesce": q_dict_replace_coalesce,
-    "topn_per_key": q_topn_per_key,
-    "coalesce_pair_join": q_coalesce_pair_join,
-    "self_pair_removal": q_self_pair_removal,
-    "intersect_split": q_intersect_split,
+    "appends_uuids_flow": q_appends_uuids_flow,
+    "normalize_fixture_suite": q_normalize_fixture_suite,
+    "sentinel_masked_coalesce": q_sentinel_masked_coalesce,
+    "dict_join_replace": q_dict_join_replace,
+    "pair_edge_ops": q_pair_edge_ops,
     "classification_accuracy": q_classification_accuracy,
     "agg_images_bulk": q_agg_images_bulk,
-    "ann_recall": q_ann_recall,
 }
+
+assert len(QUERIES) == 50, f"driver records exactly 50 rows; got {len(QUERIES)}"
 
 _STOP_LIST_SQL = "('the','a','of','and','to','in','is','on','for','with')"
 
@@ -1009,10 +1075,14 @@ ORACLES = {
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    "count_distinct": """
-        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
-        FROM lineitem
+    "scalar_aggs": """
+        SELECT cd.n_orders, cd.n_parts, mx.max_key, mx.max_price
+        FROM (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+              FROM lineitem) cd,
+             (SELECT CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                     round(max(o_totalprice), 2) AS max_price
+              FROM orders) mx
     """,
     "keep_first_argmax": """
         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
@@ -1024,11 +1094,6 @@ ORACLES = {
     "string_concat_agg": """
         SELECT s_nationkey, string_agg(DISTINCT s_name, ',' ORDER BY s_name) AS names_csv
         FROM supplier GROUP BY s_nationkey
-    """,
-    "max_scalar": """
-        SELECT CAST(max(o_orderkey) AS BIGINT) AS max_key,
-               round(max(o_totalprice), 2) AS max_price
-        FROM orders
     """,
     "pareto_cumsum": """
         WITH per_part AS (
@@ -1107,42 +1172,32 @@ ORACLES = {
                CAST(count(*) AS BIGINT) AS group_size
         FROM documents GROUP BY sha256(substr(text, 1, 8)) HAVING count(*) > 1
     """,
-    "token_count": """
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens
-        FROM documents
-    """,
-    "quality_score": """
-        SELECT doc_id, round(
-            0.4 * least(len(string_split(text, ' ')) / 300.0, 1.0)
-          + 0.4 * (len(list_distinct(string_split(text, ' ')))
-                   * 1.0 / len(string_split(text, ' ')))
-          + 0.2 * least(((length(text) - len(string_split(text, ' ')) + 1)
-                   * 1.0 / len(string_split(text, ' '))) / 8.0, 1.0), 4) AS quality
-        FROM documents
-    """,
-    "lang_stopword_ratio": f"""
+    "text_quality_stats": f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                   len(list_filter(string_split(text, ' '),
+                       x -> x IN {_STOP_LIST_SQL})) AS n_stop
+            FROM documents)
         SELECT doc_id, lang,
-               round(len(list_filter(string_split(text, ' '),
-                     x -> x IN {_STOP_LIST_SQL}))
-                     * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
-               CASE WHEN round(len(list_filter(string_split(text, ' '),
-                     x -> x IN {_STOP_LIST_SQL}))
-                     * 1.0 / len(string_split(text, ' ')), 4) >= 0.03
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(n_uniq AS BIGINT) AS n_unique_tokens,
+               round(0.4 * least(n_tok / 300.0, 1.0)
+                   + 0.4 * (n_uniq * 1.0 / n_tok)
+                   + 0.2 * least(((length(text) - n_tok + 1) * 1.0 / n_tok) / 8.0,
+                                 1.0), 4) AS quality,
+               round(n_stop * 1.0 / n_tok, 4) AS stopword_ratio,
+               CASE WHEN round(n_stop * 1.0 / n_tok, 4) >= 0.03
                     THEN 1 ELSE 0 END AS looks_en
-        FROM documents
+        FROM t
     """,
-    "doc_fingerprint": """
+    "fingerprint_bigrams": """
         SELECT doc_id,
                list_min(list_transform(list_distinct(string_split(text, ' ')),
                         t -> md5(t))) AS fp_min,
                list_max(list_transform(list_distinct(string_split(text, ' ')),
-                        t -> md5(t))) AS fp_max
-        FROM documents
-    """,
-    "bigram_stats": """
-        SELECT doc_id,
+                        t -> md5(t))) AS fp_max,
                CAST(len(list_distinct(list_transform(
                    range(1, len(string_split(text, ' '))),
                    i -> string_split(text, ' ')[i] || ' ' ||
@@ -1228,7 +1283,8 @@ ORACLES = {
         SELECT p_partkey,
                regexp_replace(n2,
                  '(pm \d+\w+)|(pm \d+\.\d+)|(pm\d+\.\d+)|(\d+ pmp)|(pm\d+)|( \.+)|(pmp\d+.\d+)|(\d+pmp)|(pmp \d+)|(\d+.\d+ pm)',
-                 '', 'g') AS product_name
+                 '', 'g') AS product_name,
+               n2 AS lemma
         FROM joined
     """,
     "csv_roundtrip": """
@@ -1258,58 +1314,61 @@ ORACLES = {
         ) AS t(item_uuid, item_name, canonical_id, canonical_leader,
                canonical_member, agent_verified)
     """,
-    "title_case": """
+    "normalize_fixture_suite": """
         SELECT * FROM (VALUES
-            ('coca-cola 330ml', 'Coca-cola 330ml', 'Coca-Cola 330Ml'),
-            ('HEINZ beans', 'Heinz Beans', 'Heinz Beans'),
+            ('coca-cola 330ml', 'Coca-cola 330ml', 'Coca-Cola 330Ml',
+             'coca-cola 330ml', 'coca-cola 330ml', 'coca-cola 330ml'),
+            ('HEINZ beans', 'Heinz Beans', 'Heinz Beans',
+             'HEINZ beans', 'HEINZ beans', 'HEINZ bean'),
             ('o''briens crisps 6x25g', 'O''briens Crisps 6x25g',
-             'O''Briens Crisps 6X25G')
-        ) AS t(name, initcap_name, title_name)
+             'O''Briens Crisps 6X25G', 'o''briens crisps 6x25g',
+             'o''briens crisps 6x25g', 'o''brien crisp 6x25g'),
+            ('the', 'The', 'The', '', '', 'the'),
+            ('the beans and rice', 'The Beans And Rice', 'The Beans And Rice',
+             'the beans and rice', 'beans rice', 'the bean and rice'),
+            ('a', 'A', 'A', '', '', 'a'),
+            ('fresh bread', 'Fresh Bread', 'Fresh Bread',
+             'fresh bread', 'fresh bread', 'fresh bread'),
+            ('caresses ponies flies agreed', 'Caresses Ponies Flies Agreed',
+             'Caresses Ponies Flies Agreed', 'caresses ponies flies agreed',
+             'caresses ponies flies agreed', 'caress poni fli agre'),
+            ('relational conditional rational meetings',
+             'Relational Conditional Rational Meetings',
+             'Relational Conditional Rational Meetings',
+             'relational conditional rational meetings',
+             'relational conditional rational meetings',
+             'relat condit ration meet'),
+            ('triplicate formative electrical hopeful goodness',
+             'Triplicate Formative Electrical Hopeful Goodness',
+             'Triplicate Formative Electrical Hopeful Goodness',
+             'triplicate formative electrical hopeful goodness',
+             'triplicate formative electrical hopeful goodness',
+             'triplic form electr hope good')
+        ) AS t(name, initcap_name, title_name, buggy, fixed, stemmed)
     """,
-    "stop_words": """
-        SELECT * FROM (VALUES
-            ('the', '', ''),
-            ('the beans and rice', 'the beans and rice', 'beans rice'),
-            ('a', '', ''),
-            ('fresh bread', 'fresh bread', 'fresh bread')
-        ) AS t(name, buggy, fixed)
+    "sentinel_masked_coalesce": r"""
+        WITH p AS (
+            SELECT p_partkey, p_size, p_brand,
+                   nullif(CASE WHEN p_partkey % 3 = 0 THEN '\N'
+                               ELSE p_type END, '\N') AS image
+            FROM part)
+        SELECT p_partkey, image,
+               CASE WHEN p_size < 5 THEN 'BULK-SMALL' ELSE p_brand END AS brand_fixed,
+               coalesce(image, t.brand_label) AS v
+        FROM p LEFT JOIN (VALUES
+            ('Brand#11', 'b-eleven'), ('Brand#23', 'b-twentythree')
+        ) AS t(p_brand, brand_label) USING (p_brand)
     """,
-    "lemmatize_identity": r"""
-        WITH cleaned AS (
-            SELECT p_partkey,
-                   regexp_replace(lower(trim(p_name)),
-                                  '(@[A-Za-z0-9]+)|([^0-9A-Za-z.% \t])', '', 'g') AS n1
-            FROM part
-        )
-        SELECT p_partkey,
-               array_to_string(list_filter(string_split_regex(n1, '\s+'),
-                               w -> w != '.' AND w != ''), ' ') AS lemma
-        FROM cleaned
-    """,
-    "sentinel_replace": """
-        SELECT * FROM (VALUES
-            ('r1', CAST(NULL AS VARCHAR)),
-            ('r2', 'img.jpg'),
-            ('r3', CAST(NULL AS VARCHAR))
-        ) AS t(row_id, image)
-    """,
-    "masked_update": """
-        SELECT p_partkey,
-               CASE WHEN p_size < 5 THEN 'BULK-SMALL' ELSE p_brand END
-                   AS brand_fixed
-        FROM part
-    """,
-    "dict_map_join": """
-        SELECT c_custkey, CAST(t.tier AS BIGINT) AS tier
-        FROM customer LEFT JOIN (VALUES
+    "dict_join_replace": """
+        SELECT c_custkey, CAST(t.tier AS BIGINT) AS tier,
+               coalesce(r._short, c_mktsegment) AS segment_repl
+        FROM customer
+        LEFT JOIN (VALUES
             ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)
         ) AS t(c_mktsegment, tier) USING (c_mktsegment)
-    """,
-    "dict_replace_coalesce": """
-        SELECT c_custkey, coalesce(t._short, c_mktsegment) AS segment_repl
-        FROM customer LEFT JOIN (VALUES
+        LEFT JOIN (VALUES
             ('BUILDING', 'bldg'), ('FURNITURE', 'furn')
-        ) AS t(c_mktsegment, _short) USING (c_mktsegment)
+        ) AS r(c_mktsegment, _short) USING (c_mktsegment)
     """,
     "topn_per_key": """
         SELECT o_custkey, o_orderkey, CAST(rk AS BIGINT) AS rk FROM (
@@ -1318,18 +1377,29 @@ ORACLES = {
             FROM orders)
         WHERE rk <= 3
     """,
-    "coalesce_pair_join": """
+    "pair_edge_ops": """
         SELECT * FROM (VALUES
-            ('k1', 'a1'), ('k2', 'b2'), ('k3', CAST(NULL AS VARCHAR))
-        ) AS t(key, v)
+            ('a', 'b', 1), ('c', 'd', 1), ('b', 'c', 0)
+        ) AS t(src, dst, in_probe)
     """,
-    "self_pair_removal": """
-        SELECT * FROM (VALUES ('a', 'b'), ('c', 'd')) AS t(src, dst)
-    """,
-    "intersect_split": """
+    "appends_uuids_flow": """
         SELECT * FROM (VALUES
-            ('i2', 1), ('i4', 1), ('i1', 0), ('i3', 0)
-        ) AS t(id, in_both)
+            ('u1', 'Alpha One', CAST(1 AS BIGINT), 'alpha one', 'alpha one',
+             CAST(0 AS BIGINT)),
+            ('u2', 'ALFA One', CAST(1 AS BIGINT), 'alpha one', 'alfa one',
+             CAST(0 AS BIGINT)),
+            ('u3', 'Beta Two', CAST(2 AS BIGINT), 'beta two', 'beta two',
+             CAST(0 AS BIGINT)),
+            ('m1', 'Alfa One! ', CAST(1 AS BIGINT), 'alpha one', 'alfa one',
+             CAST(0 AS BIGINT)),
+            ('m3', 'delta four', CAST(3 AS BIGINT), 'delta four', 'delta four',
+             CAST(0 AS BIGINT)),
+            ('m2', 'Gamma@ Three', CAST(5 AS BIGINT), 'gamma three',
+             'gamma three', CAST(0 AS BIGINT)),
+            ('m4', 'Gamma Three', CAST(5 AS BIGINT), 'gamma three',
+             'gamma three', CAST(0 AS BIGINT))
+        ) AS t(item_uuid, item_name, canonical_id, canonical_leader,
+               canonical_member, agent_verified)
     """,
     "classification_accuracy": """
         SELECT CAST(5 AS BIGINT) AS n_labeled, CAST(0.6 AS DOUBLE) AS accuracy
@@ -1440,3 +1510,7 @@ ORACLES = {
     # ann_recall / substring_containment / grocery_parity_clusters oracle
     # rows above.
 }
+
+# the LSH engine path must reproduce the brute-force theta join EXACTLY —
+# same oracle, so the driver verifies candidate-generation completeness
+ORACLES["token_jaccard_lsh"] = ORACLES["token_jaccard_pairs"]

@@ -142,3 +142,83 @@ def test_upsert_idempotent_for_repeated_run(spark):
     assert cat2.count() == catalog.count()
     assert links2.count() == links.count()
     assert cat2.agg(F.max("canonical_id")).collect()[0][0] == 2
+
+
+def test_append_missing_members_end_to_end(spark):
+    """appends_uuids.main composition (reference/appends_uuids.py:122-144):
+    normalize -> drop linked uuids -> U5 split -> direct-link vs mint.
+    Fixture rows are pre-sorted so the reference's input-order id assignment
+    equals this implementation's sorted-order assignment."""
+    from product_deduplication_spark.operators.canonical import append_missing_members
+
+    links = spark.createDataFrame(
+        [
+            ("u1", "Alpha One", 1, "alpha one", "alpha one", 0),
+            ("u2", "ALFA One", 1, "alpha one", "alfa one", 0),
+            ("u3", "Beta Two", 2, "beta two", "beta two", 0),
+        ],
+        "item_uuid string, item_name string, canonical_id long, "
+        "canonical_leader string, canonical_member string, agent_verified long",
+    )
+    catalog = spark.createDataFrame(
+        [(1, "alpha one", 0), (2, "beta two", 1)],
+        "canonical_id long, canonical_leader string, agent_verified long",
+    )
+    missing = spark.createDataFrame(
+        [
+            ("u2", "ALFA One"),      # already linked -> dropped entirely
+            ("m1", "Alfa One! "),    # normalizes to existing member 'alfa one'
+            ("m0", "beta two!!"),    # matches member 'beta two' -> id 2, av=1
+            ("m2", "Gamma@ Three"),  # new
+            ("m3", "delta four"),    # new
+            ("m4", "Gamma Three"),   # duplicate new leader
+        ],
+        "item_uuid string, item_name string",
+    )
+    cat2, links2 = append_missing_members(catalog, links, missing)
+
+    # catalog: duplicate leaders minted as SEPARATE rows (reference concat
+    # semantics) with sorted-order ids 3=delta four, 4+5=gamma three
+    cat_rows = sorted(
+        (r["canonical_id"], r["canonical_leader"]) for r in cat2.collect()
+    )
+    assert cat_rows == [
+        (1, "alpha one"), (2, "beta two"), (3, "delta four"),
+        (4, "gamma three"), (5, "gamma three"),
+    ]
+    lk = {
+        r["item_uuid"]: (
+            r["canonical_id"], r["canonical_leader"], r["canonical_member"],
+            r["agent_verified"],
+        )
+        for r in links2.collect()
+    }
+    assert "u2" not in {k for k in lk if k.startswith("m")}  # dropped resubmit
+    assert links2.count() == 3 + 5  # 3 prior + (m0,m1,m2,m3,m4)
+    assert lk["m1"] == (1, "alpha one", "alfa one", 0)
+    # agent_verified propagates from the catalog row of the linked id
+    assert lk["m0"] == (2, "beta two", "beta two", 1)
+    # last-wins dict semantics: BOTH gamma rows link to the max minted id
+    assert lk["m2"] == (5, "gamma three", "gamma three", 0)
+    assert lk["m4"] == (5, "gamma three", "gamma three", 0)
+    assert lk["m3"] == (3, "delta four", "delta four", 0)
+
+
+def test_porter_stemmer_vectors():
+    from product_deduplication_spark.functions.normalize import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "hopping": "hop", "filing": "file", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "digitizer": "digit", "operator": "oper",
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "adjustable": "adjust", "defensible": "defens", "replacement": "replac",
+        "adoption": "adopt", "activate": "activ", "effective": "effect",
+        "rate": "rate", "cease": "ceas", "controll": "control", "roll": "roll",
+        "meetings": "meet", "flies": "fli", "denied": "deni",
+    }
+    bad = {w: (porter_stem(w), e) for w, e in vectors.items() if porter_stem(w) != e}
+    assert not bad, bad
