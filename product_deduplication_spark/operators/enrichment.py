@@ -91,9 +91,14 @@ def propagate_barcodes(relations: DataFrame, barcodes: DataFrame) -> DataFrame:
         F.col("has_plu").alias("loser_has_plu"),
         F.col("has_gtin").alias("loser_has_gtin"),
     )
+    # NO forced broadcast of wflags/lflags: both derive from the full
+    # barcodes table and grow with the entity catalog — an unconditional
+    # hint would collect them to the driver at 100x (the same defect class
+    # that aborted a 370k-doc run in verify_pairs; AQE may still choose a
+    # broadcast at runtime when a side is genuinely small)
     r = (
-        rel.join(F.broadcast(wflags), "winner_entity_uuid", "left")
-        .join(F.broadcast(lflags), "loser_entity_uuid", "left")
+        rel.join(wflags, "winner_entity_uuid", "left")
+        .join(lflags, "loser_entity_uuid", "left")
         .na.fill({"winner_has_plu": 0, "winner_has_gtin": 0, "loser_has_plu": 0, "loser_has_gtin": 0})
     )
     # PLU vs PLU relations removed (``:62-67``)

@@ -192,3 +192,89 @@ def test_verify_join_never_broadcasts_features(spark):
     pairs = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
     plan = _plan(verify_pairs(pairs, feats, cfg))
     assert "BroadcastHashJoin" not in plan, plan[:3000]
+
+
+def test_no_forced_broadcast_of_corpus_sides_across_operators(spark):
+    """Sweep the operator surface: NO operator may carry an unconditional
+    broadcast hint on a corpus-derived side (relations, barcodes, images,
+    links, features all grow with the catalog — a forced broadcast OOMs the
+    driver at 100x; regression class: verify_pairs at 370k docs, round-2
+    canonical/winner/linkage fixes, round-3 enrichment.propagate_barcodes).
+
+    Allowed ResolvedHints: the O(numPartitions) _pid/_offset map inside
+    assign_sequential_ids and the 1-row _mu/_sd scalar-stats frame in
+    score_entities — both bounded by construction, not by data size."""
+    from product_deduplication_spark.operators.canonical import (
+        append_missing_members,
+        bootstrap_canonical,
+        upsert_canonical,
+    )
+    from product_deduplication_spark.operators.enrichment import (
+        agg_images_bulk_reference_shape,
+        barcode_bulk_rows,
+        propagate_barcodes,
+        propagate_images,
+    )
+    from product_deduplication_spark.operators.winner import score_entities
+
+    rel = spark.createDataFrame(
+        [("w1", "l1")], "winner_entity_uuid string, loser_entity_uuid string"
+    )
+    barcodes = spark.createDataFrame(
+        [("w1", "111", "PRODUCT_IDENTIFIER_TYPE_PLU"),
+         ("l1", "2222222", "PRODUCT_IDENTIFIER_TYPE_GTIN")],
+        "entity_uuid string, gtins string, gtin_types string",
+    )
+    imgs = spark.createDataFrame(
+        [("l1", "http://img/a.jpg", "IMAGE_SOURCE_CATALOG")],
+        "ucpc_entity_uuid string, image_1 string, image_source_1 string",
+    )
+    links = spark.createDataFrame(
+        [("u1", "n1", 1, "leader a", "member a", 0)],
+        "item_uuid string, item_name string, canonical_id long, "
+        "canonical_leader string, canonical_member string, agent_verified long",
+    )
+    catalog = spark.createDataFrame(
+        [(1, "leader a")], "canonical_id long, canonical_leader string"
+    )
+    groups = spark.createDataFrame(
+        [(10, "leader b", "member b", "u2", "n2")],
+        "group_id long, leader string, member string, item_uuid string, item_name string",
+    )
+    missing = spark.createDataFrame([("m1", "New Prod")], "item_uuid string, item_name string")
+    score_in = spark.createDataFrame(
+        [("e1", *([1] * 14), 10, 8, 2, 10)],
+        "entity_uuid string, "
+        + ", ".join(
+            f"{c} int"
+            for c in __import__(
+                "product_deduplication_spark.operators.winner", fromlist=["ATTRIBUTE_WEIGHTS"]
+            ).ATTRIBUTE_WEIGHTS
+        )
+        + ", scans int, correct_scans int, incorrect_scans int, linked_products int",
+    )
+
+    propagated = propagate_barcodes(rel, barcodes)
+    boot_cat, boot_links = bootstrap_canonical(groups)
+    ups_cat, ups_links = upsert_canonical(catalog, links, groups)
+    app_cat, app_links = append_missing_members(catalog, links, missing)
+    outputs = {
+        "propagate_barcodes": propagated,
+        "barcode_bulk_rows": barcode_bulk_rows(propagated, barcodes),
+        "agg_images_bulk": agg_images_bulk_reference_shape(rel, imgs, n_slots=1),
+        "propagate_images": propagate_images(rel, imgs, n_slots=1),
+        "bootstrap_links": boot_links,
+        "upsert_links": ups_links,
+        "append_catalog": app_cat,
+        "append_links": app_links,
+        "score_entities": score_entities(score_in),
+    }
+    for name, df in outputs.items():
+        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" not in ln:
+                continue
+            ctx = "\n".join(lines[i : i + 4])
+            assert ("_pid" in ctx and "_offset" in ctx) or (
+                "_mu" in ctx and "_sd" in ctx
+            ), f"{name}: forced broadcast of a corpus-derived side:\n{ctx}"
