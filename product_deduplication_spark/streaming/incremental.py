@@ -11,9 +11,7 @@ circuit) at webtext scale:
 2. **Feature reuse** — MinHash/shingles are computed ONLY for genuinely new
    docs; prior snapshots' features are read back from the catalog. At 10^12
    docs this is the difference between re-hashing the corpus and hashing
-   the daily delta. DOCS/FEATURES are *delta stages*: each batch appends
-   only its new rows and readers union the snapshot list
-   (``SnapshotCatalog.read_stage_union``) — never a full rewrite.
+   the daily delta.
 3. **Delta-restricted candidates** — LSH banding runs in delta mode
    (``candidate_pairs(..., delta_ids=new ids)``): only buckets touching a
    new doc are considered and only (new, any) pairs are emitted. Old-old
@@ -23,6 +21,24 @@ circuit) at webtext scale:
    (doc→cluster_id edges keep old clusters intact and merge them when a
    new doc bridges two), then connected components reassign.
 
+**Every stage is a delta stage.** DOCS/FEATURES snapshots hold only the
+batch's new rows; CLUSTERS snapshots hold only assignments that CHANGED
+this batch (new docs + old docs whose cluster_id or winner flag flipped via
+bridging). Readers reconstruct current state from the snapshot list:
+docs/features dedupe by doc_id, clusters resolve latest-wins by
+``batch_seq`` (:func:`read_clusters`). At 10^12 docs a batch therefore
+writes O(delta), never O(corpus) — the round-2 implementation rewrote the
+full assignment every batch.
+
+**Crash recovery.** Within a batch the write order is FEATURES → CLUSTERS →
+DOCS, and *idempotence keys off DOCS* (the last write = the commit marker):
+a resubmitted url is "new" until its DOCS row exists. A crash between any
+two writes therefore causes the retry to reprocess the batch in full — the
+half-written features/clusters rows are superseded by doc_id-dedup /
+latest-wins on read. (The round-2 ordering wrote DOCS first; a crash after
+it left resubmitted docs permanently unclustered, because delta mode
+assumes every DOCS member already has an assignment.)
+
 ``foreach_batch_dedup`` wraps this as a Structured Streaming sink
 (``writeStream.foreachBatch``) so a stream of page snapshots continuously
 maintains the cluster table.
@@ -30,7 +46,7 @@ maintains the cluster table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from product_deduplication_spark.catalog import SnapshotCatalog
 from product_deduplication_spark.config import DedupConfig
@@ -43,33 +59,73 @@ from product_deduplication_spark.pipeline import pick_winners, prepare_docs
 DOCS_STAGE = "inc_docs"
 FEATURES_STAGE = "inc_features"
 CLUSTERS_STAGE = "inc_clusters"
+# catalog layout version. 2 = all-delta stages + batch_seq'd clusters +
+# precomputed band hashes in features. Catalogs written by older code lack
+# the bands column and use full-rewrite clusters snapshots — reading them
+# with this code would silently corrupt state, so refuse loudly.
+FORMAT_VERSION = 2
+
+
+def read_clusters(catalog: SnapshotCatalog) -> DataFrame:
+    """Current full assignment from the delta snapshots: latest-wins per
+    doc_id by ``batch_seq`` (the Iceberg-style merge-on-read)."""
+    entries = catalog.snapshots(CLUSTERS_STAGE)
+    if not entries:
+        raise FileNotFoundError(f"no snapshot for stage {CLUSTERS_STAGE!r}")
+    union = catalog.spark.read.parquet(*[e["path"] for e in entries])
+    w = Window.partitionBy("doc_id").orderBy(F.desc("batch_seq"))
+    return (
+        union.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_seq")
+    )
+
+
+def _check_format(catalog: SnapshotCatalog) -> None:
+    entry = catalog.latest(DOCS_STAGE)
+    fmt = (entry.get("metrics") or {}).get("format") if entry else None
+    if fmt != FORMAT_VERSION:
+        raise RuntimeError(
+            f"incremental catalog at {catalog.root!r} has format {fmt!r}, this "
+            f"code writes format {FORMAT_VERSION}: old snapshots lack the "
+            "precomputed band-hash column and use full-rewrite clusters "
+            "snapshots. Rebuild the catalog (re-run bootstrap) or migrate: "
+            "recompute features with band_hash_array and rewrite clusters "
+            "as a batch_seq=0 delta."
+        )
 
 
 def incremental_dedup(
     spark, catalog: SnapshotCatalog, new_docs: DataFrame, cfg: DedupConfig | None = None
 ) -> DataFrame:
-    """Process a batch of new docs against the catalog state; returns and
-    snapshots the updated full cluster assignment."""
+    """Process a batch of new docs against the catalog state; snapshots the
+    per-batch deltas and returns the updated full cluster assignment."""
     cfg = cfg or DedupConfig()
     new_prepared = prepare_docs(new_docs, cfg).select("url", "doc_id", "text")
 
-    bootstrap = not catalog.has_stage(CLUSTERS_STAGE)
+    # DOCS is the commit marker (written LAST) — its presence defines both
+    # bootstrap and which docs count as already-processed
+    bootstrap = not catalog.has_stage(DOCS_STAGE)
     if bootstrap:
         all_docs = new_prepared
         old_feats = None
+        old_assign = None
         prior_edges = None
         truly_new = new_prepared
     else:
+        _check_format(catalog)
         # union of ALL prior delta snapshots — not just the latest batch
-        # (a batch-3 doc must still LSH-collide with a batch-1 doc)
-        old_docs = catalog.read_stage_union(DOCS_STAGE)
-        old_clusters = catalog.read_stage(CLUSTERS_STAGE)
-        old_feats = catalog.read_stage_union(FEATURES_STAGE)
-        # idempotence: drop re-submitted urls
+        # (a batch-3 doc must still LSH-collide with a batch-1 doc).
+        # dropDuplicates(doc_id): a crash between FEATURES and DOCS writes
+        # leaves the retried batch's features twice across snapshots.
+        old_docs = catalog.read_stage_union(DOCS_STAGE).dropDuplicates(["doc_id"])
+        old_feats = catalog.read_stage_union(FEATURES_STAGE).dropDuplicates(["doc_id"])
+        old_assign = read_clusters(catalog)
+        # idempotence: drop re-submitted urls that COMMITTED (have a DOCS row)
         truly_new = new_prepared.join(old_docs.select("url"), "url", "left_anti")
         all_docs = old_docs.unionByName(truly_new)
         # prior assignments as edges keep existing clusters connected
-        prior_edges = old_clusters.select(
+        prior_edges = old_assign.select(
             F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
         )
 
@@ -104,16 +160,46 @@ def incremental_dedup(
         edges = edges.unionByName(prior_edges)
     clusters = pick_winners(
         assign_clusters(all_docs, edges.dropDuplicates(["src", "dst"]), "doc_id")
-    ).select("url", "doc_id", "cluster_id", "is_winner", "text")
+    ).select("url", "doc_id", "cluster_id", "is_winner")
 
-    # delta writes: only the batch's new rows (read path unions snapshots)
-    catalog.write_stage(truly_new, DOCS_STAGE, metrics={"new_docs": truly_new.count()})
-    catalog.write_stage(new_feats, FEATURES_STAGE)
-    entry = catalog.write_stage(
-        clusters.drop("text"), CLUSTERS_STAGE, metrics={"bootstrap": bootstrap}
+    # the CLUSTERS delta: new docs + old docs whose assignment or winner
+    # flag changed (a new doc can bridge two old clusters or unseat an old
+    # winner). Everything else is already correct in prior snapshots.
+    if old_assign is None:
+        delta_clusters = clusters
+    else:
+        old_cmp = old_assign.select(
+            "doc_id",
+            F.col("cluster_id").alias("_old_cid"),
+            F.col("is_winner").alias("_old_win"),
+        )
+        delta_clusters = (
+            clusters.join(old_cmp, "doc_id", "left")
+            .where(
+                F.col("_old_cid").isNull()
+                | (F.col("_old_cid") != F.col("cluster_id"))
+                | (F.col("_old_win") != F.col("is_winner"))
+            )
+            .drop("_old_cid", "_old_win")
+        )
+    batch_seq = len(catalog.snapshots(CLUSTERS_STAGE))
+    delta_clusters = delta_clusters.withColumn("batch_seq", F.lit(batch_seq))
+
+    # write order = crash-safety order (module docstring): FEATURES first
+    # (harmless extras if the batch dies here), CLUSTERS next, DOCS last as
+    # the commit marker that flips the batch to "processed"
+    fmt = {"format": FORMAT_VERSION}
+    catalog.write_stage(new_feats, FEATURES_STAGE, metrics=fmt)
+    catalog.write_stage(
+        delta_clusters,
+        CLUSTERS_STAGE,
+        metrics=fmt | {"bootstrap": bootstrap, "batch_seq": batch_seq},
+    )
+    catalog.write_stage(
+        truly_new, DOCS_STAGE, metrics=fmt | {"new_docs": truly_new.count()}
     )
     feats.unpersist()
-    return catalog.read_stage(CLUSTERS_STAGE, entry["snapshot_id"])
+    return read_clusters(catalog)
 
 
 def foreach_batch_dedup(catalog_root: str, cfg: DedupConfig | None = None):

@@ -86,3 +86,77 @@ def test_three_batches_cross_batch_near_dup(spark, tmp_path):
         {r["url"]: r["cluster_id"] for r in full.clusters.select("url", "cluster_id").collect()}
     )
     assert inc_pairs == full_pairs
+
+
+def test_clusters_snapshot_is_delta_sized(spark, tmp_path):
+    """A batch's CLUSTERS snapshot must hold ~delta-many rows (new docs +
+    bridged/unseated old docs), never the full corpus — at 10^12 docs a
+    full rewrite per batch is an O(corpus) write (round-2 defect)."""
+    docs, _ = generate_web_documents(n_base_docs=80, seed=31)
+    third = len(docs) // 3
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_delta"))
+    b1, b2 = docs.iloc[:third], docs.iloc[third:]
+    incremental_dedup(spark, cat, spark.createDataFrame(b1[["url", "text"]]), CFG)
+    res = incremental_dedup(spark, cat, spark.createDataFrame(b2[["url", "text"]]), CFG)
+    snaps = cat.snapshots("inc_clusters")
+    assert len(snaps) == 2
+    assert snaps[0]["rows"] == len(b1)
+    # batch-2 delta: its own docs plus any batch-1 docs it bridged/unseated —
+    # strictly less than the full corpus it would be under rewrite semantics
+    assert len(b2) <= snaps[1]["rows"] < len(docs)
+    assert res.count() == len(docs)
+
+
+def test_crash_between_clusters_and_docs_write_recovers(spark, tmp_path, corpus):
+    """ADVICE round-2 (medium): a batch that dies after writing its
+    features/clusters deltas but BEFORE the DOCS commit marker must be
+    fully reprocessed on resubmission — docs from the crashed attempt must
+    not become permanent singletons."""
+    from product_deduplication_spark.streaming import incremental as inc
+
+    batch1, batch2, full = corpus
+    root = str(tmp_path / "inc_crash")
+    cat = SnapshotCatalog(spark, root)
+    incremental_dedup(spark, cat, spark.createDataFrame(batch1[["url", "text"]]), CFG)
+
+    class CrashingCatalog(SnapshotCatalog):
+        def write_stage(self, df, stage, metrics=None):
+            if stage == inc.DOCS_STAGE:
+                raise RuntimeError("simulated crash before commit marker")
+            return super().write_stage(df, stage, metrics)
+
+    crash_cat = CrashingCatalog(spark, root)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_dedup(
+            spark, crash_cat, spark.createDataFrame(batch2[["url", "text"]]), CFG
+        )
+    # retry on a healthy catalog: the batch is still "new" (no DOCS row) and
+    # reprocesses in full; half-written features/clusters rows are superseded
+    c2 = incremental_dedup(
+        spark, cat, spark.createDataFrame(batch2[["url", "text"]]), CFG
+    )
+    assert c2.count() == len(full)
+    full_res = run_dedup(spark.createDataFrame(full[["url", "text"]]), CFG)
+    assert _partition_pairs(c2.collect()) == _partition_pairs(
+        full_res.clusters.select("url", "cluster_id").collect()
+    )
+
+
+def test_old_format_catalog_is_refused(spark, tmp_path):
+    """Catalogs written by pre-format-2 code (no bands column, full-rewrite
+    clusters) must fail loudly with a migration message, not corrupt state."""
+    import pytest as _pytest
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_old"))
+    old = spark.createDataFrame([("u://1", 1, "t")], "url string, doc_id long, text string")
+    cat.write_stage(old, "inc_docs")  # no format stamp = legacy
+    cat.write_stage(
+        spark.createDataFrame([(1, 1, True, 0)], "doc_id long, cluster_id long, is_winner boolean, batch_seq int"),
+        "inc_clusters",
+    )
+    with _pytest.raises(RuntimeError, match="format"):
+        incremental_dedup(
+            spark, cat, spark.createDataFrame([("u://2", "x")], "url string, text string"), CFG
+        )
