@@ -26,7 +26,11 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("shingles", T.ArrayType(T.LongType()), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
-        T.StructField("simhash", T.LongType(), False),
+        # nullable: simhash=False emits NULL (not a 0 sentinel — every doc
+        # sharing literal 0 would collide into ONE simhash bucket and blow
+        # up candidate generation quadratically if such a features relation
+        # ever reached simhash_candidate_pairs; NULL rows fail loudly there)
+        T.StructField("simhash", T.LongType(), True),
         # LSH band hashes, precomputed once in the batched kernel (see
         # hashing.band_hashes_from_signatures) and persisted — every LSH
         # consumer reuses them instead of re-hashing signature slices
@@ -84,8 +88,9 @@ def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
         else:
             # the token-hash + bit-unpack kernels are the most DRAM-hungry
             # stage of feature extraction — skip them entirely when the
-            # caller's pipeline never consumes simhash (schema stays stable)
-            sh = np.zeros(len(texts), dtype=np.int64)
+            # caller's pipeline never consumes simhash (schema stays stable;
+            # NULL, never a constant sentinel — see FEATURE_SCHEMA note)
+            sh = pd.array([None] * len(texts), dtype="Int64")
         bands = hashing.band_hashes_from_signatures(sig, n_bands)
         return pd.DataFrame(
             {
@@ -99,20 +104,44 @@ def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
     return features
 
 
+def _estimated_scan_width(df) -> int:
+    """Estimated parallelism of a scan from pure metadata (no physical-plan
+    materialization like rdd.getNumPartitions): the file count, raised to
+    the SPLIT count for large splittable local files — a corpus stored as a
+    few multi-GiB parquet files still scans wide, so it must not be counted
+    as narrow and force-repartitioned (an unconditional shuffle of the whole
+    corpus). Non-file / remote inputs return the file count (0 for
+    createDataFrame-style inputs → treated as narrow and spread)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    local = [f for f in files if f.startswith("file:")]
+    if len(local) != len(files):
+        return len(files)
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        total = sum(os.path.getsize(unquote(urlparse(f).path)) for f in local)
+    except OSError:
+        return len(files)
+    conf = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int("".join(ch for ch in str(conf) if ch.isdigit()) or 134217728)
+    return max(len(files), -(-total // max_bytes))
+
+
 def with_features(df, cfg: DedupConfig, text_col: str = "text", simhash: bool = True):
     """Append the feature struct columns, spreading the Arrow-UDF work
     across all cores first — a small parquet scan (or a local createDataFrame)
     arrives as 1-2 partitions and would otherwise compute features
-    single-threaded. The input-width probe uses ``inputFiles()`` (pure
-    metadata — no physical-plan materialization like rdd.getNumPartitions):
-    a wide file-backed scan at cluster scale is left untouched, a narrow or
-    non-file input is spread."""
+    single-threaded. Width is estimated from file count AND byte-derived
+    split count (``_estimated_scan_width``): a wide file-backed scan at
+    cluster scale is left untouched, a narrow or non-file input is spread."""
     feat = make_feature_udf(cfg, simhash=simhash)
-    try:
-        n_in = len(df.inputFiles())
-    except Exception:
-        n_in = 0
-    if n_in < cfg.shuffle_partitions:
+    if _estimated_scan_width(df) < cfg.shuffle_partitions:
         df = df.repartition(cfg.shuffle_partitions)
     out = df.withColumn("_f", feat(F.col(text_col)))
     return (

@@ -28,8 +28,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def pin(df: DataFrame, catalog=None, stage: str = "pin") -> DataFrame:
+    """Materialize ``df`` so later actions see EXACTLY these rows/partitions.
+
+    Local fast path: ``localCheckpoint`` — blocks live unreplicated on
+    executors, which is fine single-box but loses the job on executor death
+    in a real cluster. When a ``SnapshotCatalog`` is supplied the pin routes
+    through reliable storage instead (write_stage + read back — the Iceberg
+    snapshot analog), making the two-pass id/cumsum pins and the CC frontier
+    resumable; per-partition lineage lands in the manifest for free."""
+    if catalog is None:
+        return df.localCheckpoint()
+    entry = catalog.write_stage(df, stage)
+    return catalog.read_stage(stage, entry["snapshot_id"])
+
+
 def assign_sequential_ids(
-    df: DataFrame, order_cols: list[str], id_col: str, start: int = 1
+    df: DataFrame, order_cols: list[str], id_col: str, start: int = 1, catalog=None
 ) -> DataFrame:
     """Deterministic gap-free sequential ids without a global window.
 
@@ -44,17 +59,22 @@ def assign_sequential_ids(
     # id-assignment action must see the SAME partition contents. Range
     # boundaries come from sampling, but RangePartitioner's sampling seeds
     # are a pure function of partition index — identical input partitions
-    # (guaranteed by the checkpoint) give identical boundaries in both jobs.
-    # Checkpointing upstream of the range shuffle also means the (possibly
+    # (guaranteed by the pin) give identical boundaries in both jobs.
+    # Pinning upstream of the range shuffle also means the (possibly
     # expensive) lineage above runs ONCE, not once per pass.
-    df = df.localCheckpoint()
+    df = pin(df, catalog, "pin_seqid_input")
     # ...and pin the RANGE PARTITIONING too: RangePartitioner samples with
     # RDD-id-derived seeds, so each action would otherwise draw different
-    # boundaries — the counts below must describe the exact partitions the
-    # id-assignment job reads.
-    ranged = df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint()
+    # boundaries — the counts below must describe the exact _pid labels the
+    # id-assignment job reads (after this point _pid is frozen DATA, so the
+    # groupBy/window below are correct under any later re-split).
+    ranged = pin(
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols]).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        catalog,
+        "pin_seqid_ranged",
+    )
     counts = ranged.groupBy("_pid").count().collect()
     offsets = {}
     acc = start
@@ -74,7 +94,7 @@ def assign_sequential_ids(
 
 
 def ordered_cumsum(
-    df: DataFrame, order_exprs: list, value_col: str, out_col: str
+    df: DataFrame, order_exprs: list, value_col: str, out_col: str, catalog=None
 ) -> tuple[DataFrame, float]:
     """Global running sum over a total order WITHOUT a single-partition
     window (SURVEY.md §4.4, same two-pass as assign_sequential_ids):
@@ -88,10 +108,14 @@ def ordered_cumsum(
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     # pin input partitions once (see assign_sequential_ids: deterministic
     # range boundaries + single evaluation of the upstream lineage)
-    df = df.localCheckpoint()
-    ranged = df.repartitionByRange(n_part, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint()  # pin sampled range boundaries across the two jobs
+    df = pin(df, catalog, "pin_cumsum_input")
+    ranged = pin(  # pin sampled range boundaries across the two jobs
+        df.repartitionByRange(n_part, *order_exprs).withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        catalog,
+        "pin_cumsum_ranged",
+    )
     sums = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
     offsets, acc = {}, 0.0
     for row in sorted(sums, key=lambda r: r["_pid"]):

@@ -66,20 +66,36 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, catalog=None
+) -> DataFrame:
     """Labels (node, component) for every node appearing in ``edges``;
     component = min node id of the component (deterministic labeling,
-    mirrors SURVEY.md §5.2 "min-member-id labeled partitions")."""
-    e = _canonical(edges).localCheckpoint(eager=True)
+    mirrors SURVEY.md §5.2 "min-member-id labeled partitions").
+
+    ``catalog``: optional ``SnapshotCatalog`` — the per-round frontier pin
+    then routes through reliable storage (resumable after executor loss on
+    a real cluster) instead of ``localCheckpoint`` (unreplicated executor
+    blocks; the local-mode fast path, one driver action per round)."""
+    from product_deduplication_spark.operators.canonical import pin
+
+    if catalog is not None:
+        e = pin(_canonical(edges), catalog, "pin_cc_frontier")
+    else:
+        e = _canonical(edges).localCheckpoint(eager=True)
     if e.isEmpty():
         return edges.sparkSession.createDataFrame([], "node long, component long")
     prev_sig = None
     for _ in range(max_iter):
         e = _canonical(_large_star(e))
-        # lazy checkpoint: the signature action below materializes it, so a
-        # round costs ONE driver round-trip, not two (the per-round driver
-        # latency is the pipeline's main serial fraction at high core counts)
-        e = _canonical(_small_star(e)).localCheckpoint(eager=False)
+        e = _canonical(_small_star(e))
+        if catalog is not None:
+            e = pin(e, catalog, "pin_cc_frontier")
+        else:
+            # lazy checkpoint: the signature action below materializes it,
+            # so a round costs ONE driver round-trip, not two (per-round
+            # driver latency is the main serial fraction at high core counts)
+            e = e.localCheckpoint(eager=False)
         sig = _signature(e)
         if sig == prev_sig:
             break
@@ -93,10 +109,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 def assign_clusters(
-    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id", catalog=None
 ) -> DataFrame:
     """Every doc gets a cluster_id: its component root, or itself if unlinked."""
-    labels = connected_components(edges)
+    labels = connected_components(edges, catalog=catalog)
     return (
         docs.join(labels, docs[id_col] == labels["node"], "left")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))

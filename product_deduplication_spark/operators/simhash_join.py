@@ -33,7 +33,22 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """(src, dst) candidate pairs with Hamming(simhash) <= cfg.simhash_hamming_max."""
     width = cfg.simhash_bits // cfg.simhash_chunks
-    fp = features.select(F.col(id_col).alias("node"), F.col("simhash"))
+    # guard: features built with simhash=False carry NULL fingerprints —
+    # banding them would be garbage-in (and a constant sentinel would
+    # collide every doc into one bucket). Fail loudly, per row, JVM-side.
+    fp = features.select(
+        F.col(id_col).alias("node"),
+        F.when(
+            F.col("simhash").isNotNull(), F.col("simhash")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "simhash_candidate_pairs: NULL simhash — features were "
+                    "built with simhash=False; rebuild with simhash=True"
+                )
+            ).cast("long")
+        ).alias("simhash"),
+    )
 
     # star-connect identical fingerprints; one representative per fingerprint
     reps = fp.groupBy("simhash").agg(F.min("node").alias("node"), F.count("*").alias("n"))
