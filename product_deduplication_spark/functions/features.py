@@ -24,7 +24,11 @@ _TAG_RE = re.compile(r"<[^>]+>")
 
 FEATURE_SCHEMA = T.StructType(
     [
-        T.StructField("shingles", T.ArrayType(T.LongType()), False),
+        # 32-bit shingle set (hashing._to_shingle32): the verify join ships
+        # these arrays — int halves its shuffle bytes vs long, and Jaccard
+        # over 32-bit-hashed sets differs from exact by <1e-3 on the rare
+        # colliding pair at web-page set sizes
+        T.StructField("shingles", T.ArrayType(T.IntegerType()), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
         # nullable: simhash=False emits NULL (not a 0 sentinel — every doc
         # sharing literal 0 would collide into ONE simhash bucket and blow
@@ -56,7 +60,7 @@ def make_extract_text_udf():
 
 
 def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
-    """text → struct(shingles array<long>, minhash array<long>, simhash long).
+    """text → struct(shingles array<int>, minhash array<long>, simhash long).
 
     shingles: distinct k-shingle hashes (char or token mode) — the exact-
     Jaccard verify stage uses these via JVM array_intersect/array_union.
@@ -94,7 +98,7 @@ def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
         bands = hashing.band_hashes_from_signatures(sig, n_bands)
         return pd.DataFrame(
             {
-                "shingles": [s.view(np.int64) for s in shingle_sets],
+                "shingles": [s.view(np.int32) for s in shingle_sets],
                 "minhash": list(sig),
                 "simhash": sh,
                 "bands": list(bands),

@@ -64,28 +64,44 @@ def hash_bytes(data: bytes) -> int:
     return int(splitmix64(np.array([h], dtype=np.uint64))[0])
 
 
+def _to_shingle32(h64: np.ndarray) -> np.ndarray:
+    """64-bit mixed shingle hashes → sorted unique uint32 set (high bits).
+
+    Shingle sets exist for ONE consumer: the exact-Jaccard verify join,
+    whose shuffle of per-doc shingle arrays is the dedup pipeline's largest.
+    Jaccard over 32-bit-hashed sets equals Jaccard over the exact shingles
+    up to hash collisions: for web-page set sizes (~1.2k shingles) a pair
+    sees an expected |A||B|/2^32 ~ 3e-4 colliding element pairs, shifting
+    similarity by <1e-3 in the rare pair that has one — far inside the
+    recall gate's tolerance — while HALVING the verify shuffle bytes.
+    MinHash/OPH signatures are computed from these same values (signature
+    quality is unaffected: inputs are already splitmix64-mixed)."""
+    return np.unique((h64 >> np.uint64(32)).astype(np.uint32))
+
+
 @_wraparound
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct 64-bit hashes of all k-byte shingles of ``text`` (UTF-8).
+    """Distinct 32-bit hashes of all k-byte shingles of ``text`` (UTF-8).
 
     Rolling polynomial over the byte array, fully vectorized: k shifted adds
-    instead of a per-shingle loop. Returns a sorted unique uint64 array
-    (set semantics — Jaccard is over shingle *sets*).
+    instead of a per-shingle loop. Returns a sorted unique uint32 array
+    (set semantics — Jaccard is over shingle *sets*; see _to_shingle32 for
+    the 32-bit rationale).
     """
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     n = b.size
     if n == 0:
-        return np.empty(0, dtype=np.uint64)
+        return np.empty(0, dtype=np.uint32)
     if n <= k:
         h = np.zeros(1, dtype=np.uint64)
         for j in range(n):
             h = (h * _FNV_PRIME + b[j]) & _U64_MAX
-        return splitmix64(h)
+        return _to_shingle32(splitmix64(h))
     m = n - k + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(k):
         h = (h * _FNV_PRIME + b[j : j + m]) & _U64_MAX
-    return np.unique(splitmix64(h))
+    return _to_shingle32(splitmix64(h))
 
 
 @_wraparound
@@ -139,20 +155,21 @@ def token_hashes(text: str) -> np.ndarray:
 
 @_wraparound
 def token_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct hashes of word n-gram shingles (token mode)."""
+    """Distinct 32-bit hashes of word n-gram shingles (token mode; see
+    _to_shingle32 for the 32-bit rationale)."""
     th = token_hashes(text)
     if th.size == 0:
-        return th
+        return np.empty(0, dtype=np.uint32)
     if th.size <= n:
         h = np.zeros(1, dtype=np.uint64)
         for j in range(th.size):
             h = (h * _FNV_PRIME + th[j]) & _U64_MAX
-        return splitmix64(h)
+        return _to_shingle32(splitmix64(h))
     m = th.size - n + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(n):
         h = (h * _FNV_PRIME + th[j : j + m]) & _U64_MAX
-    return np.unique(splitmix64(h))
+    return _to_shingle32(splitmix64(h))
 
 
 def minhash_seeds(num_hashes: int, seed: int) -> np.ndarray:

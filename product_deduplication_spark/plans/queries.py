@@ -431,38 +431,54 @@ def q_token_jaccard_pairs(spark, sf):
     )
 
 
-def q_token_jaccard_lsh(spark, sf):
-    """ENGINE path of q_token_jaccard_pairs — identical output, scalable
-    plan: MinHash-LSH candidates over token 1-gram shingles restricted to
-    the query docs (``delta_ids`` — only (query, any) pairs are generated),
-    then exact token-set Jaccard on the candidates. Same DuckDB oracle as
-    the theta twin; r=2 rows/band x 63 bands puts the S-curve at
-    1-(1-0.25)^63 ~ 1-1e-8 at s=0.5, so recall vs the brute force is 1.0
-    (candidate misses at the threshold are ~1e-8)."""
-    from product_deduplication_spark.functions.features import with_features
-    from product_deduplication_spark.operators.lsh import candidate_pairs
+def token_jaccard_lsh_impl(docs: DataFrame, query_pred, shuffle_partitions: int):
+    """LSH band-PROBE token-Jaccard: the delta specialization of LSH banding
+    for a small query set. Every doc is banded once (MinHash over token
+    1-gram shingles, r=2 rows x 63 bands — S-curve 1-(1-s^2)^63 ~ 1-1e-8 at
+    s=0.5, so a >= 0.5 pair misses every band with P ~ 1e-8); the query
+    docs' (band, band_hash) keys are then equi-joined into the corpus band
+    relation, emitting (query, member) candidates DIRECTLY — no bucket
+    statistics, no pair enumeration, so cost is linear in actual band
+    collisions. Exact token-set Jaccard (JVM array ops, identical
+    expressions to the theta twin) verifies candidates.
 
-    d = _t(spark, sf, "documents").select("doc_id", "text")
+    Complete for (query, any) pairs by construction (a probe join cannot
+    drop a colliding pair, unlike hub-star bucket approximations).
+
+    Scale note (measured at sf0.1): this corpus is pathologically dense —
+    78% of (query, corpus) pairs sit above the 0.5 threshold — so NO
+    candidate scheme can beat the brute-force theta join there (output ~
+    comparison space). The LSH path's advantage is structural: probe cost
+    scales with band collisions, not |queries| x |corpus|; bench.py
+    demonstrates the crossover on the sparse webtext corpus.
+    """
+    from product_deduplication_spark.functions.features import with_features
+    from product_deduplication_spark.operators.lsh import explode_bands
+
     cfg = DedupConfig(
         shingle_mode="token",
         shingle_k=1,
         num_hashes=126,
         lsh_bands=63,
         jaccard_threshold=0.5,
-        # delta mode prunes to buckets touching the 50 query docs, so full
-        # pair enumeration stays bounded — no hub-star approximation here
-        # (a star edge could drop a (query, other) pair from the output)
-        bucket_cap=4096,
-        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        shuffle_partitions=shuffle_partitions,
     )
-    feats = with_features(d, cfg, simhash=False).select("doc_id", "minhash", "bands")
-    query_ids = d.where(F.col("doc_id") < 50).select("doc_id")
-    # delta mode: every emitted pair touches a query doc; src<dst and the
-    # delta side is doc_id<50, so src is always the query side
-    cand = candidate_pairs(feats, cfg, delta_ids=query_ids)
-    toks = _t(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    feats = with_features(docs.select("doc_id", "text"), cfg, simhash=False).select(
+        "doc_id", "bands"
     )
+    bands = explode_bands(feats, cfg)
+    probe = bands.where(query_pred(F.col("node"))).select(
+        "band", "band_hash", F.col("node").alias("qid")
+    )
+    cand = (
+        probe.join(bands, ["band", "band_hash"])
+        .where(F.col("qid") != F.col("node"))
+        .select(
+            F.least("qid", "node").alias("src"), F.greatest("qid", "node").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    toks = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     a = toks.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -473,6 +489,18 @@ def q_token_jaccard_lsh(spark, sf):
         .withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= 0.5)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "jaccard")
+    )
+
+
+def q_token_jaccard_lsh(spark, sf):
+    """ENGINE path of q_token_jaccard_pairs — identical output via LSH band
+    probing (see token_jaccard_lsh_impl). Same DuckDB oracle as the theta
+    twin: the driver verifies candidate-generation completeness."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return token_jaccard_lsh_impl(
+        d,
+        lambda node: node < 50,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
 
 

@@ -60,10 +60,10 @@ DOCS_STAGE = "inc_docs"
 FEATURES_STAGE = "inc_features"
 CLUSTERS_STAGE = "inc_clusters"
 # catalog layout version. 2 = all-delta stages + batch_seq'd clusters +
-# precomputed band hashes in features. Catalogs written by older code lack
-# the bands column and use full-rewrite clusters snapshots — reading them
-# with this code would silently corrupt state, so refuse loudly.
-FORMAT_VERSION = 2
+# precomputed band hashes in features; 3 = 32-bit shingle sets (array<int>).
+# Catalogs written by older code would silently corrupt state (or fail the
+# features union with a type mismatch) — refuse loudly instead.
+FORMAT_VERSION = 3
 
 
 def read_clusters(catalog: SnapshotCatalog) -> DataFrame:
