@@ -104,6 +104,15 @@ def ordered_cumsum(
 
     order_exprs: sort expressions (e.g. [F.desc("rev"), F.asc("key")]) —
     must define a total order for a deterministic result.
+
+    Float tolerance: doubles accumulate in a different association order
+    (per-partition sums + offsets) than a sequential window sum, so a
+    downstream round() sitting EXACTLY on a rounding boundary can differ
+    from a sequential oracle by one ulp-step. Callers comparing against
+    bit-exact harnesses (q_pareto_cumsum) round AFTER adding the offset —
+    consistent with the oracle's post-sum rounding — and should prefer an
+    epsilon/decimal comparison at larger scale factors where boundary
+    collisions become likely.
     """
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     # pin input partitions once (see assign_sequential_ids: deterministic
