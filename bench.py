@@ -165,6 +165,14 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     timings["tj_lsh_web"] = round(best_of(lambda: counts.append(lsh_web.count())), 3)
     assert len(set(counts)) == 1, f"LSH twin != theta on webtext: {counts}"
     extras["tj_web_pairs"] = counts[0]
+    # suite total is not comparable to rounds 1-2: these queries are new
+    # coverage (simhash soak + LSH/theta twins), not regressions
+    extras["queries_added_r03"] = [
+        "dedup_pipeline_simhash",
+        "token_jaccard_lsh",
+        "tj_theta_web",
+        "tj_lsh_web",
+    ]
 
     return timings, extras
 
