@@ -66,10 +66,22 @@ class DedupConfig:
     min_doc_chars: int = 1      # docs shorter than this skip near-dup stages
     substring_min_len: int = 50 # min length for exact-substring dedup match
 
+    def __post_init__(self) -> None:
+        # fail at construction, not deep inside a pipeline stage: every LSH
+        # consumer derives rows_per_band, and an indivisible banding would
+        # otherwise surface as a confusing mid-job error
+        if self.num_hashes <= 0 or self.lsh_bands <= 0:
+            raise ValueError("num_hashes and lsh_bands must be positive")
+        if self.num_hashes % self.lsh_bands != 0:
+            raise ValueError(
+                f"num_hashes ({self.num_hashes}) must be divisible by "
+                f"lsh_bands ({self.lsh_bands})"
+            )
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold must be in (0, 1]")
+
     @property
     def rows_per_band(self) -> int:
-        if self.num_hashes % self.lsh_bands != 0:
-            raise ValueError("num_hashes must be divisible by lsh_bands")
         return self.num_hashes // self.lsh_bands
 
     def with_(self, **kw) -> "DedupConfig":
