@@ -111,8 +111,16 @@ def test_candidate_probability_scurve():
 
 
 def test_config_validation():
+    # eager: construction alone must raise, not a later property access
     with pytest.raises(ValueError):
-        _ = DedupConfig(num_hashes=100, lsh_bands=32).rows_per_band
+        DedupConfig(num_hashes=100, lsh_bands=32)
+    with pytest.raises(ValueError):
+        DedupConfig(num_hashes=0)
+    with pytest.raises(ValueError):
+        DedupConfig(jaccard_threshold=0.0)
+    # with_() re-validates through replace()
+    with pytest.raises(ValueError):
+        DedupConfig().with_(lsh_bands=25)
 
 
 def test_band_hashes_from_signatures_properties():
