@@ -29,10 +29,25 @@ if _REPO not in _pp.split(os.pathsep):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full MinHash/LSH near-dup pipeline over sf0.001 documents
     (wrapped into the (url, warc_ts, html, text, lang) input_hint shape) →
-    cluster assignments with winners."""
-    from product_deduplication_spark.plans.queries import q_minhash_dedup_clusters
+    cluster assignments with winners. (The registry twin
+    ``minhash_dedup_clusters`` reduces this same pipeline to an
+    oracle-pinned self-check row; entry() returns the full assignment.)"""
+    from pyspark.sql import functions as F
 
-    return q_minhash_dedup_clusters(spark, "/root/testdata/sf0.001")
+    from product_deduplication_spark.config import DedupConfig
+    from product_deduplication_spark.datagen import wrap_documents_spark
+    from product_deduplication_spark.pipeline import run_dedup
+
+    docs = wrap_documents_spark(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    cfg = DedupConfig(
+        shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+    res = run_dedup(docs, cfg)
+    return res.clusters.select(
+        "url", "doc_id", "cluster_id", F.col("is_winner").cast("int").alias("is_winner")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

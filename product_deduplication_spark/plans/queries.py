@@ -533,25 +533,92 @@ def q_knn_cosine(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# non-SQL-expressible (rows-only driver check): the dedup pipeline itself
+# pipeline self-checks (oracle-backed): the dedup pipeline itself. Pattern
+# (same as q_ann_recall): the full non-SQL-expressible computation runs
+# Spark-side and is reduced to a deterministic summary row whose invariants a
+# DuckDB oracle pins — so the driver's hard CORRECTNESS signal covers the
+# iterative/seeded operators too, not just a rows-only count.
 # --------------------------------------------------------------------------
 
 def q_minhash_dedup_clusters(spark, sf):
-    """Full MinHash/LSH/CC pipeline over the documents table (flagship).
-    The input_hint wrap (url/warc_ts/html columns) is pure JVM expressions
-    (wrap_documents_spark) — the corpus never round-trips the driver."""
+    """Full MinHash/LSH/CC pipeline over the documents table (flagship) as a
+    self-check row. The input_hint wrap (url/warc_ts/html columns) is pure
+    JVM expressions (wrap_documents_spark) — the corpus never round-trips
+    the driver.
+
+    Emits one row the oracle pins:
+      n_docs       cluster-assignment rows (must equal count(documents))
+      coverage_ok  every input doc assigned to exactly one cluster
+      winners_ok   exactly one winner per cluster
+      recall_ok    co-cluster recall >= 0.99 against a Spark-computed exact
+                   brute-force truth set: all (src < dst) pairs whose exact
+                   shingle-set Jaccard >= cfg.jaccard_threshold (the
+                   BASELINE.json dup-pair recall gate, evaluated in-query —
+                   the full cluster output itself is exercised by entry(),
+                   bench.py, and tests/test_pipeline_recall.py)."""
     from product_deduplication_spark.pipeline import run_dedup
 
     sdf = wrap_documents_spark(_t(spark, sf, "documents"))
     cfg = DedupConfig(shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     res = run_dedup(sdf, cfg)
-    return res.clusters.select(
-        "url", "doc_id", "cluster_id", F.col("is_winner").cast("int").alias("is_winner")
+    clusters = res.clusters.select("doc_id", "cluster_id", "is_winner")
+
+    feats = res.features.select("doc_id", "shingles")
+    a = feats.select(F.col("doc_id").alias("src"), F.col("shingles").alias("_sh_a"))
+    b = feats.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    truth = (
+        a.join(b, F.col("src") < F.col("dst"))
+        .where(
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+            >= F.lit(cfg.jaccard_threshold)
+        )
+        .select("src", "dst")
+    )
+    ca = clusters.select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("_cid_a"))
+    cb = clusters.select(F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_cid_b"))
+    hits = (
+        truth.join(ca, "src").join(cb, "dst").where(F.col("_cid_a") == F.col("_cid_b"))
+    )
+
+    stats = clusters.agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("doc_id").alias("_nd"),
+        F.sum(F.col("is_winner").cast("long")).alias("_nw"),
+        F.countDistinct("cluster_id").alias("_nc"),
+    )
+    row = (
+        stats.crossJoin(sdf.agg(F.count("*").alias("_ni")))
+        .crossJoin(truth.agg(F.count("*").alias("_nt")))
+        .crossJoin(hits.agg(F.count("*").alias("_nh")))
+    )
+    recall = F.when(F.col("_nt") > 0, F.col("_nh") / F.col("_nt")).otherwise(F.lit(1.0))
+    return row.select(
+        F.col("_n").cast("long").alias("n_docs"),
+        ((F.col("_n") == F.col("_nd")) & (F.col("_n") == F.col("_ni")))
+        .cast("int")
+        .alias("coverage_ok"),
+        (F.col("_nw") == F.col("_nc")).cast("int").alias("winners_ok"),
+        (recall >= F.lit(0.99)).cast("int").alias("recall_ok"),
     )
 
 
 def q_simhash_candidates(spark, sf):
-    """SimHash Hamming-neighborhood candidate pairs over documents."""
+    """SimHash Hamming-neighborhood candidate generation as a self-check row
+    with a pinned oracle: the pigeonhole chunk equi-join's output is compared
+    in-query against a brute-force Hamming theta join over the SAME
+    Spark-computed fingerprints.
+
+    The operator's contract (operators/simhash_join.py): for every pair of
+    DISTINCT fingerprints within Hamming <= d the representative pair is
+    emitted, identical fingerprints star to their min-id hub, and no emitted
+    pair exceeds distance d (or has non-identical fps missing entirely).
+    The row pins all three as counts that must be zero:
+      missed_pairs        brute-force rep pairs absent from the candidates
+      extra_pairs         candidates whose fingerprints are > d apart
+      missing_star_edges  non-representative docs without their hub edge
+      complete_ok         all of the above hold"""
     from product_deduplication_spark.functions.features import with_features
     from product_deduplication_spark.operators.simhash_join import simhash_candidate_pairs
     from product_deduplication_spark.pipeline import prepare_docs
@@ -560,7 +627,53 @@ def q_simhash_candidates(spark, sf):
     cfg = DedupConfig(shuffle_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
     docs = prepare_docs(sdf, cfg)
     feats = with_features(docs.select("doc_id", "text"), cfg)
-    return simhash_candidate_pairs(feats, cfg).select("src", "dst")
+    fp = feats.select("doc_id", "simhash")
+    cand = simhash_candidate_pairs(feats, cfg).select("src", "dst")
+
+    reps = fp.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    ra = reps.select(F.col("simhash").alias("_sh_a"), F.col("rep").alias("_ra"))
+    rb = reps.select(F.col("simhash").alias("_sh_b"), F.col("rep").alias("_rb"))
+    truth = (
+        ra.join(rb, F.col("_sh_a") < F.col("_sh_b"))
+        .where(
+            F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b")))
+            <= F.lit(cfg.simhash_hamming_max)
+        )
+        .select(F.least("_ra", "_rb").alias("src"), F.greatest("_ra", "_rb").alias("dst"))
+    )
+    missed = truth.join(cand, ["src", "dst"], "left_anti")
+
+    fa = fp.select(F.col("doc_id").alias("src"), F.col("simhash").alias("_fa"))
+    fb = fp.select(F.col("doc_id").alias("dst"), F.col("simhash").alias("_fb"))
+    extra = (
+        cand.join(fa, "src")
+        .join(fb, "dst")
+        .where(
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+            > F.lit(cfg.simhash_hamming_max)
+        )
+    )
+
+    expected_star = (
+        fp.join(reps, "simhash")
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    star_missing = expected_star.join(cand, ["src", "dst"], "left_anti")
+
+    row = (
+        missed.agg(F.count("*").alias("_m"))
+        .crossJoin(extra.agg(F.count("*").alias("_e")))
+        .crossJoin(star_missing.agg(F.count("*").alias("_s")))
+    )
+    return row.select(
+        F.col("_m").cast("long").alias("missed_pairs"),
+        F.col("_e").cast("long").alias("extra_pairs"),
+        F.col("_s").cast("long").alias("missing_star_edges"),
+        ((F.col("_m") == 0) & (F.col("_e") == 0) & (F.col("_s") == 0))
+        .cast("int")
+        .alias("complete_ok"),
+    )
 
 
 def q_sequential_ids(spark, sf):
@@ -628,13 +741,55 @@ def q_substring_containment(spark, sf):
 
 
 def q_ann_topk(spark, sf):
-    """LSH-bucketed ANN over embeddings (rows-only; exactness of the cos
-    values is cross-checked against knn_cosine in tests)."""
-    from product_deduplication_spark.operators.knn import ann_topk
+    """LSH-bucketed ANN over embeddings as a self-check row with a pinned
+    oracle (the raw top-k rows are exercised by q_ann_recall's recall gate
+    and tests; quality is gated there — THIS row pins the operator's output
+    contract):
+      n_rows        total returned rows (k per query)
+      n_queries     distinct queries answered (= count of query vectors)
+      per_query_ok  every query returns exactly k rows ranked rk = 1..k
+      cos_exact_ok  every returned cos equals an independent exact
+                    recomputation from the embedding table (re-rank step is
+                    exact, not approximate)"""
+    from product_deduplication_spark.operators.knn import _cos_expr, ann_topk
 
+    k = 5
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return ann_topk(q, e, k=5, dim=64, n_bits=4, n_tables=16)
+    res = ann_topk(q, e, k=k, dim=64, n_bits=4, n_tables=16)
+
+    ev = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    qa = ev.select(F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv"))
+    ca = ev.select(F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_cv"))
+    bad_cos = (
+        res.join(qa, "query_id")
+        .join(ca, "neighbor_id")
+        .where(F.round(_cos_expr("_qv", "_cv"), 6) != F.col("cos"))
+    )
+    per_query = res.groupBy("query_id").agg(
+        F.count("*").alias("_c"),
+        F.min("rk").alias("_mn"),
+        F.max("rk").alias("_mx"),
+        F.countDistinct("rk").alias("_dr"),
+    )
+    bad_shape = per_query.where(
+        ~((F.col("_c") == k) & (F.col("_mn") == 1) & (F.col("_mx") == k) & (F.col("_dr") == k))
+    )
+    row = (
+        res.agg(
+            F.count("*").alias("_n"), F.countDistinct("query_id").alias("_nq")
+        )
+        .crossJoin(bad_shape.agg(F.count("*").alias("_bs")))
+        .crossJoin(bad_cos.agg(F.count("*").alias("_bc")))
+    )
+    return row.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("_nq").cast("long").alias("n_queries"),
+        (F.col("_bs") == 0).cast("int").alias("per_query_ok"),
+        (F.col("_bc") == 0).cast("int").alias("cos_exact_ok"),
+    )
 
 
 def q_grocery_parity_clusters(spark, sf):
@@ -1531,12 +1686,31 @@ ORACLES = {
             ('water 330ml spring fanta ', CAST(-8182357169939086226 AS BIGINT))
         ) AS t(product_name, cluster_id)
     """,
-    # minhash_dedup_clusters / simhash_candidates / ann_topk: genuinely
-    # non-SQL-expressible (iterative CC, LSH banding, seeded hyperplanes) —
-    # rows-only driver check by design; their correctness gates live in
-    # tests/ (oracle parity, recall, ANN-vs-bruteforce) and in the
-    # ann_recall / substring_containment / grocery_parity_clusters oracle
-    # rows above.
+    # The genuinely non-SQL-expressible computations (iterative CC, LSH
+    # banding, seeded hyperplanes) run Spark-side and reduce to summary rows
+    # whose invariants these oracles pin (ann_recall pattern): the count
+    # columns come from the data (DuckDB recomputes them), the _ok flags are
+    # in-query cross-checks against Spark-computed brute-force truth.
+    "minhash_dedup_clusters": """
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(1 AS INT) AS coverage_ok,
+               CAST(1 AS INT) AS winners_ok,
+               CAST(1 AS INT) AS recall_ok
+        FROM documents
+    """,
+    "simhash_candidates": """
+        SELECT CAST(0 AS BIGINT) AS missed_pairs,
+               CAST(0 AS BIGINT) AS extra_pairs,
+               CAST(0 AS BIGINT) AS missing_star_edges,
+               CAST(1 AS INT) AS complete_ok
+    """,
+    "ann_topk": """
+        SELECT CAST(5 * count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(1 AS INT) AS per_query_ok,
+               CAST(1 AS INT) AS cos_exact_ok
+        FROM embeddings WHERE vec_id < 10
+    """,
 }
 
 # the LSH engine path must reproduce the brute-force theta join EXACTLY —

@@ -27,8 +27,10 @@ def test_entry_smoke(spark):
     assert {"url", "doc_id", "cluster_id", "is_winner"} <= set(df.columns)
 
 
-def test_every_oracle_key_has_query():
-    assert set(_ORACLES) <= set(_QUERIES)
+def test_every_query_has_oracle():
+    # full coverage both directions: the driver records a green (rows +
+    # schema + value-hash) row for every registry entry — no rows-only rows
+    assert set(_ORACLES) == set(_QUERIES)
 
 
 @pytest.fixture(scope="module")
@@ -44,9 +46,3 @@ def test_query_matches_oracle(spark, duck, name):
     duck_pdf = duck.execute(_ORACLES[name]).df()
     problems = compare_frames(spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"
-
-
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = _QUERIES[name](spark, SF01)
-    assert df.count() >= 0
