@@ -79,9 +79,9 @@ def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
     def features(text: pd.Series) -> pd.DataFrame:
         texts = text.fillna("").tolist()
         if mode == "char":
-            shingle_sets = [hashing.char_shingle_hashes(t, k) for t in texts]
+            shingle_sets = hashing.char_shingle_hashes_batch(texts, k)
         else:
-            shingle_sets = [hashing.token_ngram_hashes(t, k) for t in texts]
+            shingle_sets = hashing.token_ngram_hashes_batch(texts, k)
         if minhash_mode == "oph":
             sig = hashing.oph_signatures(shingle_sets, seeds)
         else:

@@ -154,6 +154,116 @@ def token_hashes(text: str) -> np.ndarray:
 
 
 @_wraparound
+def _rolling_shingle32_batch(H: np.ndarray, lens: np.ndarray, k: int) -> list[np.ndarray]:
+    """Per-doc sorted-unique 32-bit k-shingle sets for a WHOLE batch at once.
+
+    ``H`` is the batch's per-doc element sequences (bytes or token hashes as
+    uint64) concatenated back-to-back; ``lens`` the per-doc lengths. Docs
+    are processed in doc-aligned TILES of ~64k elements through small
+    reusable buffers (same L2-residency rationale as the OPH / simhash
+    kernels): per tile, k in-place multiply-adds compute every window hash
+    for ALL the tile's docs at once, one in-place splitmix pass mixes them,
+    then a per-doc np.unique over the uint32 slice. Per-doc numpy-call
+    count drops from ~10 (the per-doc kernels) to 2 (boundary-mask write +
+    unique), and no allocation exceeds the tile — a whole-batch variant
+    with multi-MB temporaries measured 3-25x slower under this host's
+    allocation stalls. Byte-for-byte equal to the per-doc kernels
+    (char_shingle_hashes / token_ngram_hashes) — pinned in
+    tests/test_hashing.py.
+
+    Docs with 0 < len <= k get the whole-sequence hash (identical chain to
+    the per-doc kernels); empty docs get empty sets.
+    """
+    n_docs = lens.size
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint32)] * n_docs
+    if n_docs == 0 or H.size == 0:
+        return out
+    doc_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=doc_starts[1:])
+    for i in np.flatnonzero((lens > 0) & (lens <= k)):
+        seg = H[doc_starts[i] : doc_starts[i] + lens[i]]
+        h = np.zeros(1, dtype=np.uint64)
+        for j in range(int(lens[i])):
+            h = (h * _FNV_PRIME + seg[j]) & _U64_MAX
+        out[i] = _to_shingle32(splitmix64(h))
+    long_idx = np.flatnonzero(lens > k)
+    if long_idx.size == 0:
+        return out
+    tile_elems = 1 << 16
+    hbuf = np.empty(tile_elems, dtype=np.uint64)
+    scratch = np.empty(tile_elems, dtype=np.uint64)
+    d0 = 0
+    n_long = long_idx.size
+    llens = lens[long_idx]
+    while d0 < n_long:
+        # greedy doc-aligned tile: consecutive long docs, <= tile_elems
+        # elements (always >= 1 doc; a lone giant doc grows the buffers)
+        d1 = d0 + 1
+        span = int(llens[d0])
+        while d1 < n_long and span + llens[d1] <= tile_elems:
+            span += int(llens[d1])
+            d1 += 1
+        if span > hbuf.size:
+            hbuf = np.empty(span, dtype=np.uint64)
+            scratch = np.empty(span, dtype=np.uint64)
+        # pack the tile's docs back-to-back (short docs interleave in H, so
+        # long-doc spans are not contiguous in it)
+        off = 0
+        for gi in range(d0, d1):
+            ln = int(llens[gi])
+            s = doc_starts[long_idx[gi]]
+            hbuf[off : off + ln] = H[s : s + ln]
+            off += ln
+        m = span - k + 1
+        ht = scratch[:m]
+        ht[:] = 0
+        for j in range(k):
+            ht *= _FNV_PRIME
+            ht += hbuf[j : j + m]
+        # splitmix64 in place, reusing the front of hbuf as scratch
+        _splitmix64_inplace(ht, hbuf[:m])
+        mixed32 = (ht >> np.uint64(32)).astype(np.uint32)
+        # window index == start position, so doc gi's own windows are the
+        # md = ln-k+1 starting at its element offset; the k-1 cross-doc
+        # windows at each doc's tail are simply not sliced
+        off = 0
+        for gi in range(d0, d1):
+            ln = int(llens[gi])
+            out[long_idx[gi]] = np.unique(mixed32[off : off + ln - k + 1])
+            off += ln
+        d0 = d1
+    return out
+
+
+def char_shingle_hashes_batch(texts: list[str], k: int) -> list[np.ndarray]:
+    """Batched :func:`char_shingle_hashes`: one rolling-hash + one sort pass
+    per tile for the whole Arrow batch (the per-doc variant pays ~10 numpy
+    call overheads per doc — measurable when features is the hot stage)."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return []
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    # stay uint8: the tile copy upcasts to uint64 inside the L2-resident
+    # buffer — a whole-batch astype(uint64) here is an 8x allocation whose
+    # page-fault stalls measured 3-10x wall on this host
+    H = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    return _rolling_shingle32_batch(H, lens, k)
+
+
+def token_ngram_hashes_batch(texts: list[str], n: int) -> list[np.ndarray]:
+    """Batched :func:`token_ngram_hashes`: token hashes from the batched
+    tokenizer, then the same one-pass rolling window over token sequences."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return []
+    tok = token_hashes_batch(texts)
+    lens = np.fromiter((a.size for a in tok), dtype=np.int64, count=n_docs)
+    H = np.concatenate(tok) if n_docs else np.empty(0, dtype=np.uint64)
+    return _rolling_shingle32_batch(H, lens, n)
+
+
+@_wraparound
 def token_ngram_hashes(text: str, n: int) -> np.ndarray:
     """Distinct 32-bit hashes of word n-gram shingles (token mode; see
     _to_shingle32 for the 32-bit rationale)."""

@@ -143,3 +143,39 @@ def test_band_hashes_from_signatures_properties():
     assert b[3, 1] != b[0, 0]
     # deterministic
     assert (band_hashes_from_signatures(sig, 4) == b).all()
+
+
+def test_batch_shingle_kernels_equal_per_doc():
+    """The tiled batch kernels must be byte-for-byte equal to the per-doc
+    reference kernels — including empty docs, docs at/below the window
+    size, unicode, whitespace-only docs, and docs larger than one tile."""
+    import random
+    import string
+
+    import numpy as np
+
+    from product_deduplication_spark.functions import hashing
+
+    rng = random.Random(13)
+
+    def rand_text(n, alpha=string.ascii_lowercase + " é日\t"):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    texts = (
+        ["", " ", "\t\n ", "ab", "abcde", "abcdef", "  x  ", rand_text(3)]
+        + [rand_text(rng.randrange(0, 800)) for _ in range(120)]
+        + [rand_text(70_000)]  # larger than the 64k-element tile
+    )
+    for k in (3, 5, 9):
+        batch = hashing.char_shingle_hashes_batch(texts, k)
+        assert len(batch) == len(texts)
+        for i, t in enumerate(texts):
+            ref = hashing.char_shingle_hashes(t, k)
+            assert batch[i].dtype == np.uint32
+            assert np.array_equal(batch[i], ref), (k, i, t[:40])
+    for n in (1, 2, 4):
+        batch = hashing.token_ngram_hashes_batch(texts, n)
+        for i, t in enumerate(texts):
+            assert np.array_equal(batch[i], hashing.token_ngram_hashes(t, n)), (n, i)
+    assert hashing.char_shingle_hashes_batch([], 5) == []
+    assert hashing.token_ngram_hashes_batch([], 2) == []
