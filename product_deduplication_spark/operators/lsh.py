@@ -149,6 +149,16 @@ def candidate_pairs(
         F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_hub"),
     )
     keyed = bands.join(sizes.where(F.col("bucket_n") > 1), ["band", "band_hash"])
+    # keyed feeds FOUR downstream branches (small pairs, secondary re-band,
+    # still-hot stars, hub-star backstop). Catalyst pushes each branch's
+    # bucket_n filter into its own copy of the bands→sizes→join subtree, so
+    # the canonicalized exchanges differ and AQE stage reuse never fires —
+    # measured: the full explode+agg+join recomputed once PER BRANCH (zero
+    # ReusedExchange in the final adaptive plan). Persisting pins one
+    # computation; the cache is collision-bucket members only (~1% of the
+    # exploded band relation) and is reclaimed by the ContextCleaner when
+    # the candidate DAG is released.
+    keyed = keyed.persist()
 
     small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
     big = keyed.where(F.col("bucket_n") > cfg.bucket_cap)
@@ -179,6 +189,9 @@ def candidate_pairs(
         )
         .where(F.col("band2") > F.col("band"))
     )
+    # same reuse story as keyed: big2 feeds sub_sizes AND sub_keyed — persist
+    # so the features join + re-band explode runs once (hot-member rows only)
+    big2 = big2.persist()
     sub_sizes = big2.groupBy("band", "band_hash", "band2", "band2_hash").agg(
         F.count("*").alias("sub_n"),
         F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_sub_hub"),
