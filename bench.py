@@ -244,7 +244,7 @@ from product_deduplication_spark.functions.features import with_features
 from product_deduplication_spark.operators.lsh import candidate_pairs
 from product_deduplication_spark.operators.verify import verify_pairs
 from product_deduplication_spark.operators.exact_dedup import exact_duplicate_edges
-from product_deduplication_spark.operators.connected_components import assign_clusters
+from product_deduplication_spark.operators.connected_components import assign_clusters_contracted
 from pyspark.sql import functions as F
 spark = get_spark(app_name="bench-scaling", master="local[{cores}]",
                   shuffle_partitions={sp})
@@ -280,8 +280,8 @@ near = verify_pairs(pairs, feats, cfg).select("src", "dst").persist()
 near.count()
 stages["verify"] = round(time.perf_counter() - t, 3); t = time.perf_counter()
 exact = exact_duplicate_edges(eligible, "doc_id", "text")
-edges = exact.select("src", "dst").unionByName(near).dropDuplicates(["src", "dst"])
-clustered = pick_winners(assign_clusters(docs, edges, "doc_id"))
+clustered = pick_winners(assign_clusters_contracted(
+    docs, exact.select("src", "dst"), near, "doc_id"))
 clustered.select(F.countDistinct("cluster_id")).collect()
 stages["exact_cc_winners"] = round(time.perf_counter() - t, 3)
 for df in (feats, pairs, near):

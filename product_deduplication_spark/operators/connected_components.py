@@ -118,3 +118,59 @@ def assign_clusters(
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
         .drop("node", "component")
     )
+
+
+def assign_clusters_contracted(
+    docs: DataFrame,
+    star_edges: DataFrame,
+    other_edges: DataFrame,
+    id_col: str = "doc_id",
+    catalog=None,
+) -> DataFrame:
+    """assign_clusters with the exact-duplicate classes CONTRACTED out of
+    the iterative stage.
+
+    ``star_edges`` are (src=hub, dst=member) with hub = min id of its class
+    (exact_duplicate_edges shape). Because every contracted-away member is
+    strictly greater than its hub, the min-id component labels over the
+    contracted graph equal the uncontracted labels exactly (the hub is in
+    the same component, so a member can never be the component minimum) —
+    pinned against plain assign_clusters in tests/test_connected_components.
+
+    Why: on web corpora exact duplicates dominate the edge list (boilerplate
+    / mirrored pages). Star classes are ALREADY components; routing them
+    through large-star/small-star just re-derives that at O(rounds) driver
+    actions over the largest relation. Contraction rewrites near-dup edges
+    through the member→hub map (one broadcast-or-merge join per side), runs
+    the O(log n) loop on the near-dup graph only, and expands members back
+    with a single join."""
+    mapping = star_edges.select(F.col("dst").alias("node"), F.col("src").alias("root"))
+    # the mapping feeds THREE consumers (src rewrite, dst rewrite, member
+    # expansion) — persist so the star-edge derivation (e.g. the sha2
+    # groupBy over the corpus) runs once; member rows only, ContextCleaner
+    # reclaims the blocks with the DAG
+    mapping = mapping.persist()
+    ma = mapping.select(F.col("node").alias("src"), F.col("root").alias("_ra"))
+    mb = mapping.select(F.col("node").alias("dst"), F.col("root").alias("_rb"))
+    contracted = (
+        other_edges.select("src", "dst")
+        .join(ma, "src", "left")
+        .join(mb, "dst", "left")
+        .select(
+            F.coalesce("_ra", "src").alias("src"), F.coalesce("_rb", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    labels = connected_components(contracted, catalog=catalog)
+    # members inherit their hub's component; a hub with no near edges has no
+    # label row and the member labels fall back to the hub id itself
+    member_labels = (
+        mapping.join(labels.withColumnRenamed("node", "root"), "root", "left")
+        .select("node", F.coalesce("component", F.col("root")).alias("component"))
+    )
+    all_labels = labels.unionByName(member_labels)
+    return (
+        docs.join(all_labels, docs[id_col] == all_labels["node"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node", "component")
+    )

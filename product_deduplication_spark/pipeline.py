@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from product_deduplication_spark.config import DedupConfig
 from product_deduplication_spark.functions.features import make_extract_text_udf, with_features
-from product_deduplication_spark.operators.connected_components import assign_clusters
+from product_deduplication_spark.operators.connected_components import (
+    assign_clusters_contracted,
+)
 from product_deduplication_spark.operators.exact_dedup import exact_duplicate_edges
 from product_deduplication_spark.operators.lsh import candidate_pairs
 from product_deduplication_spark.operators.simhash_join import simhash_candidate_pairs
@@ -144,7 +146,13 @@ def run_dedup(
     near = verify_pairs(pairs, feats, cfg)
 
     all_edges = exact.unionByName(near).dropDuplicates(["src", "dst"])
-    clustered = assign_clusters(docs, all_edges.select("src", "dst"), "doc_id")
+    # exact-dup classes are star components already — contract them to their
+    # min-id hubs so the iterative CC runs on the near-dup graph only (label
+    # equality with the uncontracted CC is pinned in tests; at web scale the
+    # exact stars dominate the edge list)
+    clustered = assign_clusters_contracted(
+        docs, exact.select("src", "dst"), near.select("src", "dst"), "doc_id"
+    )
     clustered = pick_winners(clustered)
     return DedupResult(
         docs=docs,

@@ -138,3 +138,43 @@ def test_simhash_disabled_features_fail_loudly_in_simhash_join(spark):
     assert feats.where(F.col("simhash").isNull()).count() == 6
     with _pytest.raises(Exception, match="simhash=False"):
         simhash_candidate_pairs(feats, cfg).count()
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_contracted_labels_equal_plain_cc(spark, seed):
+    """assign_clusters_contracted (exact-star classes contracted out of the
+    iterative stage) must produce the SAME labels as plain assign_clusters
+    over the union of star + near edges — including hubs with no near
+    edges, near edges between members of the same star class (contracted
+    self-loops), near edges touching docs outside any star class, and
+    singleton docs."""
+    from product_deduplication_spark.operators.connected_components import (
+        assign_clusters_contracted,
+    )
+
+    rng = random.Random(seed)
+    n = 300
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # random disjoint exact classes: hub = min of class (exact_dedup shape)
+    pool = list(range(n))
+    rng.shuffle(pool)
+    star = []
+    i = 0
+    while i < len(pool) - 1 and len(star) < 80:
+        size = rng.randrange(2, 6)
+        cls = sorted(pool[i : i + size])
+        star.extend((cls[0], m) for m in cls[1:])
+        i += size
+    near = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    near = [(a, b) for a, b in near if a != b]
+    star_df = spark.createDataFrame(star, "src long, dst long")
+    near_df = spark.createDataFrame(near, "src long, dst long")
+    union_df = star_df.unionByName(near_df)
+    plain = {
+        r["doc_id"]: r["cluster_id"] for r in assign_clusters(docs, union_df).collect()
+    }
+    contracted = {
+        r["doc_id"]: r["cluster_id"]
+        for r in assign_clusters_contracted(docs, star_df, near_df).collect()
+    }
+    assert plain == contracted
