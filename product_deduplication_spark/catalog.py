@@ -59,6 +59,20 @@ class SnapshotCatalog:
             entries = [e for e in entries if e["stage"] == stage]
         return entries
 
+    def active_snapshots(self, stage: str) -> list[dict]:
+        """Snapshots that constitute the stage's CURRENT state: everything
+        from the most recent ``replaces_prior`` snapshot (a compaction
+        rewrite) onward. ``snapshots()`` keeps the full append-only history
+        for time travel; readers of delta stages use this view so a
+        compaction truncates their union without rewriting the manifest
+        (Iceberg analog: a rewrite/compaction commit replacing prior data
+        files while old snapshots stay time-travelable)."""
+        entries = self.snapshots(stage)
+        for i in range(len(entries) - 1, -1, -1):
+            if entries[i].get("replaces_prior"):
+                return entries[i:]
+        return entries
+
     def latest(self, stage: str) -> dict | None:
         entries = self.snapshots(stage)
         return entries[-1] if entries else None
@@ -69,10 +83,20 @@ class SnapshotCatalog:
     # -- write / read -----------------------------------------------------
 
     def write_stage(
-        self, df: DataFrame, stage: str, metrics: dict | None = None
+        self,
+        df: DataFrame,
+        stage: str,
+        metrics: dict | None = None,
+        replaces_prior: bool = False,
     ) -> dict:
         """Persist a stage output as a new snapshot; records per-partition
-        lineage (rows per partition) + caller metrics in the manifest."""
+        lineage (rows per partition) + caller metrics in the manifest.
+
+        ``replaces_prior=True`` marks a compaction rewrite: the snapshot
+        holds the stage's FULL current state and ``active_snapshots`` stops
+        unioning anything older. The parquet write completes before the
+        manifest line is appended, so a crash mid-compaction leaves only an
+        orphan directory — readers stay consistent on the prior snapshots."""
         snapshot_id = uuid.uuid4().hex[:16]
         parent = self.latest(stage)
         path = os.path.join(self.root, stage, snapshot_id)
@@ -94,6 +118,7 @@ class SnapshotCatalog:
             "partition_rows": part_rows,
             "metrics": metrics or {},
             "path": path,
+            "replaces_prior": replaces_prior,
         }
         self._append_manifest(entry)
         return entry
@@ -104,8 +129,10 @@ class SnapshotCatalog:
         stages like incremental features/docs: at 10^12 docs a batch writes
         its delta and readers union the snapshot list — never a full rewrite.
         (Iceberg analog: reading the table = union of all appended data
-        files; here the manifest log plays the manifest-list role.)"""
-        entries = self.snapshots(stage)
+        files; here the manifest log plays the manifest-list role.) Unions
+        the ACTIVE snapshots only — a compaction rewrite truncates the list
+        read-side, bounding read cost by state size instead of batch count."""
+        entries = self.active_snapshots(stage)
         if not entries:
             raise FileNotFoundError(f"no snapshot for stage {stage!r}")
         return self.spark.read.parquet(*[e["path"] for e in entries])

@@ -68,8 +68,10 @@ FORMAT_VERSION = 3
 
 def read_clusters(catalog: SnapshotCatalog) -> DataFrame:
     """Current full assignment from the delta snapshots: latest-wins per
-    doc_id by ``batch_seq`` (the Iceberg-style merge-on-read)."""
-    entries = catalog.snapshots(CLUSTERS_STAGE)
+    doc_id by ``batch_seq`` (the Iceberg-style merge-on-read). Reads the
+    ACTIVE snapshots only, so after a compaction the merge-on-read window
+    is one full-state snapshot plus the deltas since."""
+    entries = catalog.active_snapshots(CLUSTERS_STAGE)
     if not entries:
         raise FileNotFoundError(f"no snapshot for stage {CLUSTERS_STAGE!r}")
     union = catalog.spark.read.parquet(*[e["path"] for e in entries])
@@ -95,11 +97,41 @@ def _check_format(catalog: SnapshotCatalog) -> None:
         )
 
 
+def compact_snapshots(catalog: SnapshotCatalog) -> None:
+    """Rewrite each delta stage's CURRENT state as one ``replaces_prior``
+    snapshot, truncating the read-side union (the latest-wins / doc_id-dedup
+    window otherwise grows with batch count — merge-on-read cost must be
+    bounded by state size, not history length; Iceberg analog: a
+    rewrite-data-files compaction commit).
+
+    Stages compact independently and each is committed by its manifest
+    append AFTER its parquet write, so a crash mid-compaction leaves every
+    stage readable (at worst an orphan data directory). The full manifest
+    history stays time-travelable via ``catalog.snapshots``."""
+    fmt = {"format": FORMAT_VERSION, "compaction": True}
+    docs = catalog.read_stage_union(DOCS_STAGE).dropDuplicates(["doc_id"])
+    feats = catalog.read_stage_union(FEATURES_STAGE).dropDuplicates(["doc_id"])
+    clusters = read_clusters(catalog).withColumn(
+        "batch_seq", F.lit(len(catalog.snapshots(CLUSTERS_STAGE)))
+    )
+    catalog.write_stage(feats, FEATURES_STAGE, metrics=fmt, replaces_prior=True)
+    catalog.write_stage(clusters, CLUSTERS_STAGE, metrics=fmt, replaces_prior=True)
+    catalog.write_stage(docs, DOCS_STAGE, metrics=fmt, replaces_prior=True)
+
+
 def incremental_dedup(
-    spark, catalog: SnapshotCatalog, new_docs: DataFrame, cfg: DedupConfig | None = None
+    spark,
+    catalog: SnapshotCatalog,
+    new_docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    auto_compact: int | None = 16,
 ) -> DataFrame:
     """Process a batch of new docs against the catalog state; snapshots the
-    per-batch deltas and returns the updated full cluster assignment."""
+    per-batch deltas and returns the updated full cluster assignment.
+
+    ``auto_compact``: when the ACTIVE snapshot count of the clusters stage
+    exceeds this after the batch commits, ``compact_snapshots`` runs —
+    bounding every subsequent read's union width. None disables."""
     cfg = cfg or DedupConfig()
     new_prepared = prepare_docs(new_docs, cfg).select("url", "doc_id", "text")
 
@@ -199,6 +231,11 @@ def incremental_dedup(
         truly_new, DOCS_STAGE, metrics=fmt | {"new_docs": truly_new.count()}
     )
     feats.unpersist()
+    if (
+        auto_compact is not None
+        and len(catalog.active_snapshots(CLUSTERS_STAGE)) > auto_compact
+    ):
+        compact_snapshots(catalog)
     return read_clusters(catalog)
 
 

@@ -160,3 +160,61 @@ def test_old_format_catalog_is_refused(spark, tmp_path):
         incremental_dedup(
             spark, cat, spark.createDataFrame([("u://2", "x")], "url string, text string"), CFG
         )
+
+
+def test_compaction_preserves_state_and_bounds_reads(spark, tmp_path):
+    """compact_snapshots must leave read_clusters/read_stage_union output
+    identical, shrink every stage's ACTIVE snapshot list to one, keep the
+    full manifest history time-travelable, and leave subsequent incremental
+    batches equal to a full recompute."""
+    from product_deduplication_spark.streaming import incremental as inc
+
+    docs, _ = generate_web_documents(n_base_docs=90, seed=77)
+    third = len(docs) // 3
+    batches = [docs.iloc[:third], docs.iloc[third : 2 * third], docs.iloc[2 * third :]]
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_compact"))
+    for b in batches[:2]:
+        incremental_dedup(
+            spark, cat, spark.createDataFrame(b[["url", "text"]]), CFG, auto_compact=None
+        )
+    pre = _partition_pairs(inc.read_clusters(cat).collect())
+    pre_docs = {r["doc_id"] for r in cat.read_stage_union(inc.DOCS_STAGE).collect()}
+    n_hist = len(cat.snapshots(inc.CLUSTERS_STAGE))
+    assert len(cat.active_snapshots(inc.CLUSTERS_STAGE)) == 2
+
+    inc.compact_snapshots(cat)
+    for stage in (inc.DOCS_STAGE, inc.FEATURES_STAGE, inc.CLUSTERS_STAGE):
+        assert len(cat.active_snapshots(stage)) == 1, stage
+    # full history retained for time travel
+    assert len(cat.snapshots(inc.CLUSTERS_STAGE)) == n_hist + 1
+    assert _partition_pairs(inc.read_clusters(cat).collect()) == pre
+    assert {r["doc_id"] for r in cat.read_stage_union(inc.DOCS_STAGE).collect()} == pre_docs
+
+    # post-compaction batch still equals a full recompute of the union
+    res = incremental_dedup(
+        spark, cat, spark.createDataFrame(batches[2][["url", "text"]]), CFG,
+        auto_compact=None,
+    )
+    assert res.count() == len(docs)
+    full_res = run_dedup(spark.createDataFrame(docs[["url", "text"]]), CFG)
+    assert _partition_pairs(res.collect()) == _partition_pairs(
+        full_res.clusters.select("url", "cluster_id").collect()
+    )
+
+
+def test_auto_compaction_triggers_on_snapshot_count(spark, tmp_path):
+    docs, _ = generate_web_documents(n_base_docs=40, seed=55)
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_auto"))
+    from product_deduplication_spark.streaming import incremental as inc
+
+    quarter = max(1, len(docs) // 4)
+    for i in range(4):
+        b = docs.iloc[i * quarter : (i + 1) * quarter]
+        if len(b) == 0:
+            break
+        incremental_dedup(
+            spark, cat, spark.createDataFrame(b[["url", "text"]]), CFG, auto_compact=2
+        )
+    # after exceeding the threshold, active lists were truncated
+    assert len(cat.active_snapshots(inc.CLUSTERS_STAGE)) <= 3
+    assert any(e.get("replaces_prior") for e in cat.snapshots(inc.CLUSTERS_STAGE))
