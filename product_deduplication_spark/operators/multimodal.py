@@ -51,6 +51,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_sha256", T.StringType(), True),
         T.StructField("payload_bytes", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # provenance of the feature vector: the decode backend's name, or
+        # "stub" for the deterministic fake — downstream consumers must be
+        # able to tell sha-seeded test vectors from real embeddings without
+        # reading a docstring
+        T.StructField("feature_kind", T.StringType(), True),
     ]
 )
 
@@ -69,6 +74,14 @@ class DecodeBackend:
     def __init__(self, dim: int = 16, strict: bool = False):
         self.dim = dim
         self.strict = strict
+
+    @property
+    def feature_kind(self) -> str:
+        """Provenance label stamped on every output row. The base class's
+        non-strict path emits deterministic fakes — labeled ``"stub"`` so
+        they can never be mistaken for real embeddings; a real backend
+        subclass overrides this with its codec/model name."""
+        return "stub"
 
     def decode_features(self, payload: bytes | None) -> np.ndarray | None:
         if payload is None:
@@ -98,19 +111,23 @@ def extract_media_features(
     """
     backend = backend or DecodeBackend()
 
+    fkind = backend.feature_kind
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, hashes, sizes = [], [], []
+            feats, hashes, sizes, kinds = [], [], [], []
             for payload in pdf["payload"]:
                 if payload is None:
                     feats.append(None)
                     hashes.append(None)
                     sizes.append(None)
+                    kinds.append(None)
                     continue
                 hashes.append(hashlib.sha256(payload).hexdigest())
                 sizes.append(len(payload))
                 v = backend.decode_features(payload)
                 feats.append(None if v is None else v.tolist())
+                kinds.append(None if v is None else fkind)
             yield pd.DataFrame(
                 {
                     "doc_url": pdf["doc_url"],
@@ -118,6 +135,7 @@ def extract_media_features(
                     "payload_sha256": hashes,
                     "payload_bytes": sizes,
                     "feature": feats,
+                    "feature_kind": kinds,
                 }
             )
 

@@ -36,6 +36,18 @@ def test_media_schema_and_features(media):
     import math
 
     assert math.isclose(sum(x * x for x in by_url["u3"]["feature"]), 1.0, rel_tol=1e-3)
+    # provenance tag: stub vectors must be labeled as such on every row
+    assert all(r["feature_kind"] == "stub" for r in feats)
+
+
+def test_null_payload_rows_have_null_feature_kind(spark):
+    media = spark.createDataFrame(
+        [("u9", "image", None, None)],
+        "doc_url string, kind string, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms int>",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert row["feature"] is None and row["feature_kind"] is None
 
 
 def test_media_exact_dedup(media):
