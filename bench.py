@@ -175,20 +175,21 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     timings["tj_lsh_web"] = round(best_of(lambda: counts.append(lsh_web.count())), 3)
     assert len(set(counts)) == 1, f"LSH twin != theta on webtext: {counts}"
     extras["tj_web_pairs"] = counts[0]
-    # suite total is not comparable to rounds 1-2: these queries are new
-    # coverage (simhash soak + LSH/theta twins), not regressions
-    extras["queries_added_r03"] = [
-        "dedup_pipeline_simhash",
-        "token_jaccard_lsh",
-        "tj_theta_web",
-        "tj_lsh_web",
-    ]
-    # apples-to-apples subtotal over exactly the round-1/2 query set
-    extras["suite_sec_comparable_r02"] = round(
-        sum(v for k, v in timings.items() if k not in extras["queries_added_r03"]), 3
-    )
-
     return timings, extras
+
+
+# deliberately-quadratic oracle baselines (brute-force theta joins kept only
+# so DuckDB / the LSH twins have an exact comparison target). They are timed
+# and reported under "baselines" but EXCLUDED from headline_suite_sec —
+# folding a 60s intentional brute force into the headline made the round-
+# over-round total track the baseline's noise, not the engine (r03 verdict).
+BASELINE_QUERIES = ("token_jaccard_pairs", "tj_theta_web")
+# the r03 headline summed engine + baseline queries; kept for continuity
+_R03_HEADLINE = (
+    "dedup_pipeline", "dedup_pipeline_simhash", "dedup_documents",
+    "groupby_agg", "join_inner", "pareto_cumsum", "token_jaccard_pairs",
+    "token_jaccard_lsh", "knn_cosine", "tj_theta_web", "tj_lsh_web",
+)
 
 
 def run_bench(master: str | None = None, shuffle: int | None = None) -> dict:
@@ -203,12 +204,20 @@ def run_bench(master: str | None = None, shuffle: int | None = None) -> dict:
     spark.range(1000).selectExpr("sum(id)").collect()
     timings, extras = _run_suite(spark, SF_DIR)
     spark.stop()
-    total = round(sum(timings.values()), 3)
+    engine = {k: v for k, v in timings.items() if k not in BASELINE_QUERIES}
+    baselines = {k: v for k, v in timings.items() if k in BASELINE_QUERIES}
     return {
         "metric": "headline_suite_sec",
-        "value": total,
+        # headline = engine paths only; the labeled brute-force baselines are
+        # reported separately so the headline tracks engine regressions
+        "value": round(sum(engine.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": engine,
+        "baselines": baselines,
+        # same composition as BENCH_r03.json's headline (engine + baselines)
+        "suite_sec_comparable_r03": round(
+            sum(timings[k] for k in _R03_HEADLINE if k in timings), 3
+        ),
         "sf": SF_DIR,
         **extras,
     }
@@ -396,7 +405,10 @@ def run_scaling(rounds: int = 3) -> dict:
         for c, runs in samples.items()
     }
     stage_eff = {
-        s: round(stage_best[8][s] / (4 * stage_best[32][s]), 3) for s in stage_names
+        s: round(stage_best[8][s] / (4 * stage_best[32][s]), 3)
+        if stage_best[32][s] > 0
+        else None
+        for s in stage_names
     }
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
@@ -409,24 +421,34 @@ def run_scaling(rounds: int = 3) -> dict:
         "8to32": round(results[32]["dram_rate"] / (4 * results[8]["dram_rate"]), 3),
     }
     norm_8_32 = max(
-        (r["eff_8_32"] / r["ceiling_8_32"]) for r in per_round if r["ceiling_8_32"] > 0
+        (
+            r["eff_8_32"] / r["ceiling_8_32"]
+            for r in per_round
+            if r["ceiling_8_32"] > 0
+        ),
+        default=0.0,
     )
-    # binding-ceiling normalization: within one round, the job cannot
-    # out-scale EITHER contemporaneous grant (compute or bandwidth); the
-    # smaller of the two is the physical bound on that window's achievable
-    # efficiency, so eff/min(alu, dram) measures how much of the physically
-    # available scaling the engine converted
+    # binding-ceiling normalization — SUPPLEMENTARY upper-bound figure only
+    # (r03 ADVICE): eff/min(alu, dram) is the conversion of the scarcer
+    # grant, which bounds the job's achievable efficiency ONLY IF the job is
+    # actually bound by that resource in that window. The headline numbers
+    # are raw and ALU-normalized; this one is reported with that caveat.
     binding_norm_8_32 = max(
-        r["eff_8_32"] / min(r["ceiling_8_32"], r["dram_ceiling_8_32"])
-        for r in per_round
-        if min(r["ceiling_8_32"], r["dram_ceiling_8_32"]) > 0
+        (
+            r["eff_8_32"] / min(r["ceiling_8_32"], r["dram_ceiling_8_32"])
+            for r in per_round
+            if min(r["ceiling_8_32"], r["dram_ceiling_8_32"]) > 0
+        ),
+        default=0.0,
     )
     clusters_match = len({r["clusters"] for r in results.values()}) == 1
     # per-stage efficiency read against the matched-DRAM-pressure ceiling:
     # the engine's stages stream shuffle + Arrow batches through the SAME
     # saturated memory controller the STREAM probe measures
     stage_eff_vs_dram = {
-        s: round(stage_eff[s] / dram_ceiling["8to32"], 3) if dram_ceiling["8to32"] else None
+        s: round(stage_eff[s] / dram_ceiling["8to32"], 3)
+        if stage_eff[s] is not None and dram_ceiling["8to32"] > 0
+        else None
         for s in stage_names
     }
     report = {
@@ -439,12 +461,17 @@ def run_scaling(rounds: int = 3) -> dict:
         "host_dram_ceiling_best_window": dram_ceiling,
         "per_round_8to32": per_round,
         "ceiling_normalized_efficiency_8to32": round(norm_8_32, 3),
-        "binding_ceiling_normalized_efficiency_8to32": round(binding_norm_8_32, 3),
+        # upper bound, not a headline: assumes the job is bound by the
+        # scarcer probe resource in that window (see generated BASELINE.md)
+        "binding_ceiling_upper_bound_8to32": round(binding_norm_8_32, 3),
         "per_stage_sec_best": stage_best,
         "per_stage_efficiency_8to32": stage_eff,
         "per_stage_efficiency_8to32_vs_dram_ceiling": stage_eff_vs_dram,
         "target": 0.8,
     }
+    def _ratio(num, den):
+        return round(num / den, 3) if den and den > 0 else "?"
+
     rows = "\n".join(
         f"| local[{c}] | {r['sec']} | {r['docs_per_sec']} | {r['clusters']} |"
         for c, r in results.items()
@@ -452,17 +479,47 @@ def run_scaling(rounds: int = 3) -> dict:
     per_round_rows = "\n".join(
         f"| {i + 1} | {r['eff_8_32']} | {r['ceiling_8_32']} | "
         f"{r['dram_ceiling_8_32']} | "
-        f"{round(r['eff_8_32'] / r['ceiling_8_32'], 3) if r['ceiling_8_32'] else '?'} | "
-        f"{round(r['eff_8_32'] / min(r['ceiling_8_32'], r['dram_ceiling_8_32']), 3)} |"
+        f"{_ratio(r['eff_8_32'], r['ceiling_8_32'])} | "
+        f"{_ratio(r['eff_8_32'], min(r['ceiling_8_32'], r['dram_ceiling_8_32']))} |"
         for i, r in enumerate(per_round)
     )
     stage_rows = "\n".join(
         f"| {s} | {stage_best[2][s]} | {stage_best[8][s]} | {stage_best[32][s]} | "
-        f"{stage_eff[s]} | {stage_eff_vs_dram[s]} |"
+        f"{stage_eff[s] if stage_eff[s] is not None else '?'} | "
+        f"{stage_eff_vs_dram[s] if stage_eff_vs_dram[s] is not None else '?'} |"
         for s in stage_names
     )
-    min_ceiling = min(r["ceiling_8_32"] for r in per_round)
-    max_ceiling = max(r["ceiling_8_32"] for r in per_round)
+    min_ceiling = min((r["ceiling_8_32"] for r in per_round), default=0.0)
+    max_ceiling = max((r["ceiling_8_32"] for r in per_round), default=0.0)
+    # conclusions DERIVED from this run's measurements (r03 ADVICE: the
+    # previous template hardcoded data-dependent sentences that future runs
+    # would regenerate verbatim regardless of what they measured)
+    both_ceilings_sub_linear = ceiling["8to32"] < 1.0 and dram_ceiling["8to32"] < 1.0
+    ceiling_reading = (
+        "Both measured ceilings sit below 1.0 at 8→32 — the host granted "
+        "neither 4x compute nor 4x bandwidth to 32 processes in this run — "
+        "so raw efficiency must be read against them."
+        if both_ceilings_sub_linear
+        else "At least one measured ceiling reached linear (>= 1.0) at 8→32 "
+        "in this run's best window, so the raw number is directly "
+        "comparable to the 0.8 target in that window."
+    )
+    measured_stage_eff = {s: e for s, e in stage_eff.items() if e is not None}
+    if measured_stage_eff:
+        best_stage = max(measured_stage_eff, key=measured_stage_eff.get)
+        vs = stage_eff_vs_dram.get(best_stage)
+        stage_reading = (
+            f"Per stage, `{best_stage}` scales best raw "
+            f"(eff {measured_stage_eff[best_stage]}"
+            + (
+                f", {vs}x the matched-DRAM ceiling"
+                if vs is not None
+                else ""
+            )
+            + "); the per-stage table above attributes the residual gap."
+        )
+    else:
+        stage_reading = "No per-stage efficiencies were measurable this run."
     md = f"""# BENCH/BASELINE — measured numbers (this engine)
 
 Protocol (task directive: the same job at two parallelism levels as the
@@ -475,11 +532,11 @@ subprocesses at local[2], local[8], local[32] on identical input.
 |---|---|---|---|
 {rows}
 
-**Scaling efficiency (N=2 → 4N=8)**  = {eff_2_8:.3f}
+**Scaling efficiency (N=2 → 4N=8)**  = {eff_2_8:.3f} raw
 **Scaling efficiency (N=8 → 4N=32)** = {eff_8_32:.3f} raw,
-**{norm_8_32:.3f} normalized to the host's contemporaneous compute grant,
-{binding_norm_8_32:.3f} normalized to the binding (min of compute/DRAM)
-grant** (target >= 0.8, BASELINE.json north_rule)
+**{norm_8_32:.3f} normalized to the host's contemporaneous compute (ALU)
+grant** (target >= 0.8, BASELINE.json north_rule; raw and ALU-normalized
+are the headline figures)
 
 Per-round 8→32 detail (each job run bracketed by TWO same-process-count
 host-ceiling probes — pure-ALU and STREAM-DRAM — so every raw efficiency
@@ -489,11 +546,14 @@ can be read against what the host was actually granting at that moment):
 |---|---|---|---|---|---|
 {per_round_rows}
 
-**Binding-ceiling normalized efficiency (8→32): {binding_norm_8_32:.3f}.**
-Within one round the job cannot out-scale EITHER contemporaneous grant —
-compute or memory bandwidth — so min(ALU, DRAM) is the physical bound on
-that window's achievable efficiency, and eff/min(...) measures how much of
-the physically available scaling the engine converted.
+Supplementary upper-bound figure: **eff / min(ALU, DRAM) =
+{binding_norm_8_32:.3f}** (8→32, best round). CAVEAT: dividing by the
+scarcer probe's grant treats that resource as the job's binding constraint,
+which holds only if the job actually saturates it in that window — stages
+can land above the DRAM ceiling (cache-resident compute) or above the ALU
+ceiling (pure streaming). Read it as "if the job were bound by the scarcer
+measured resource, it converted this fraction of what was grantable" — an
+optimistic bound, not the headline.
 
 **Host DRAM ceiling (best window): 2→8 = {dram_ceiling["2to8"]},
 8→32 = {dram_ceiling["8to32"]}.** The STREAM-add probe (3×64 MiB streams,
@@ -542,45 +602,29 @@ Two control experiments bracket every job run:
   is saturated well before 32 threads. This is the matched-pressure ceiling
   for shuffle- and Arrow-batch-bound stages.
 
-## Reading the result
+## Reading the result (derived from this run's measurements)
 
-Both measured ceilings sit far below 1.0 at 8→32 — the host grants
-neither 4x compute nor 4x bandwidth to 32 processes — so raw efficiency
-must be read against them. The binding-ceiling normalization above is the
-headline: the engine converts most of whatever scaling the host physically
-grants in a window. Per stage, the verify join — the stage this round
-optimized by shipping 32-bit shingle sets — scales BEST of all stages raw
-and lands above the DRAM ceiling; features and candidates land within the
-band the two ceilings bracket (they mix cache-resident hashing with
-memory-streaming shuffle, so their true per-stage ceiling is between the
-probes').
+{ceiling_reading}
 
-`exact_cc_winners` is the exception that proves it: near-constant
-wall-clock at 2, 8, and 32 cores — the stage is driver-round-trip latency
-(O(log n) connected-components iterations, one action each), not compute.
-Its "efficiency" is meaningless at this corpus size; on a real cluster the
-same fixed latency amortizes over arbitrarily large partitions.
+{stage_reading}
 
 On a real 4N-executor cluster each executor brings its own memory
 controller and bandwidth — the single shared controller measured here is a
 sandbox artifact. The scalable structure these numbers exercise
-(embarrassingly-parallel Arrow feature kernels with precomputed band
+(embarrassingly-parallel tiled Arrow feature kernels with precomputed band
 hashes, key-partitioned shuffles with algebraic map-side aggregation,
-hot-key star/re-band skew controls, O(log n) CC rounds with one action
-each) is pinned by the plan-shape tests in tests/test_plans_and_skew.py.
-
-Engine fixes that produced the current absolute numbers (round 2): constant
-shuffle partitioning across levels, band hashes precomputed once in the
-numpy feature kernel, 16g heap + opt-in SimHash + one driver action per CC
-round. Round 3 added 32-bit shingle sets (halving the verify shuffle, the
-largest) and a 4x corpus so fixed driver costs amortize; a 64-partition
-variant was probed at local[32] and measured SLOWER (141s vs 111s in the
-same window), so constant 32 stands.
+hot-key star/re-band skew controls, exact-star contraction ahead of the
+O(log n) CC rounds) is pinned by the plan-shape tests in
+tests/test_plans_and_skew.py.
 
 Reference baseline: the reference repo publishes no benchmark numbers
 (BASELINE.md); the authoritative targets are dup-pair recall >= 0.99 (gated
 in tests/test_pipeline_recall.py and tests/test_parity.py) and the scaling
 efficiency above.
+
+Cross-run and round-over-round narrative lives in `BENCH/NOTES.md` — this
+file is REGENERATED by `bench.py --scaling` and must contain only
+machine-derived content.
 """
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
