@@ -90,7 +90,7 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     def _pipeline():
         res = run_dedup(web, cfg)
         nc = res.clusters.select(F.countDistinct("cluster_id")).collect()[0][0]
-        res.features.unpersist()
+        res.release()
         clusters_seen.append(int(nc))
 
     dt = best_of(_pipeline)
@@ -107,7 +107,7 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     def _pipeline_simhash():
         res = run_dedup(web, cfg, use_simhash=True)
         res.clusters.select(F.countDistinct("cluster_id")).collect()
-        res.features.unpersist()
+        res.release()
 
     timings["dedup_pipeline_simhash"] = round(best_of(_pipeline_simhash), 3)
 
@@ -122,7 +122,7 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     def _dedup_documents():
         res = run_dedup(docs_tbl, cfg)
         res.clusters.count()
-        res.features.unpersist()
+        res.release()
 
     timings["dedup_documents"] = round(best_of(_dedup_documents), 3)
 
@@ -267,7 +267,7 @@ for rep in range({repeats}):
     res = run_dedup(web, cfg)
     nc_rep = res.clusters.select(F.countDistinct("cluster_id")).collect()[0][0]
     dt = time.perf_counter() - t0
-    res.features.unpersist()
+    res.release()
     if nc is None:
         nc = nc_rep
     assert nc_rep == nc, "nondeterministic cluster count across repeats"

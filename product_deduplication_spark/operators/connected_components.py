@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from product_deduplication_spark.caching import CacheScope, persist_in
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set as (u > v) pairs, no self-loops, distinct."""
@@ -126,6 +128,7 @@ def assign_clusters_contracted(
     other_edges: DataFrame,
     id_col: str = "doc_id",
     catalog=None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """assign_clusters with the exact-duplicate classes CONTRACTED out of
     the iterative stage.
@@ -147,9 +150,10 @@ def assign_clusters_contracted(
     mapping = star_edges.select(F.col("dst").alias("node"), F.col("src").alias("root"))
     # the mapping feeds THREE consumers (src rewrite, dst rewrite, member
     # expansion) — persist so the star-edge derivation (e.g. the sha2
-    # groupBy over the corpus) runs once; member rows only, ContextCleaner
-    # reclaims the blocks with the DAG
-    mapping = mapping.persist()
+    # groupBy over the corpus) runs once; member rows only, released via
+    # ``scope`` by the caller once the labels are materialized (see
+    # caching.py for why CacheManager entries outlive the DAG otherwise)
+    mapping = persist_in(mapping, scope)
     ma = mapping.select(F.col("node").alias("src"), F.col("root").alias("_ra"))
     mb = mapping.select(F.col("node").alias("dst"), F.col("root").alias("_rb"))
     contracted = (

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from product_deduplication_spark.caching import CacheScope, persist_in
 from product_deduplication_spark.config import DedupConfig
 
 
@@ -112,6 +113,7 @@ def candidate_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     delta_ids: DataFrame | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (src < dst) from LSH band collisions.
 
@@ -121,6 +123,13 @@ def candidate_pairs(
     ``delta_ids``: optional one-column DataFrame of node ids considered
     "new"; when given, only pairs with at least one new side are produced
     (incremental batches — see module docstring).
+
+    ``scope``: registers the two internal persists (collision-bucket members
+    + hot-member re-band rows) for explicit release once the caller has
+    materialized the pairs — required in long-lived sessions (the streaming
+    loop calls this per micro-batch; CacheManager holds persisted plans until
+    unpersist, see caching.py). Without a scope the caches live until session
+    teardown (one-shot scripts).
     """
     bands = explode_bands(features, cfg, id_col)
 
@@ -156,9 +165,8 @@ def candidate_pairs(
     # measured: the full explode+agg+join recomputed once PER BRANCH (zero
     # ReusedExchange in the final adaptive plan). Persisting pins one
     # computation; the cache is collision-bucket members only (~1% of the
-    # exploded band relation) and is reclaimed by the ContextCleaner when
-    # the candidate DAG is released.
-    keyed = keyed.persist()
+    # exploded band relation), released via ``scope`` by the caller.
+    keyed = persist_in(keyed, scope)
 
     small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
     big = keyed.where(F.col("bucket_n") > cfg.bucket_cap)
@@ -191,7 +199,7 @@ def candidate_pairs(
     )
     # same reuse story as keyed: big2 feeds sub_sizes AND sub_keyed — persist
     # so the features join + re-band explode runs once (hot-member rows only)
-    big2 = big2.persist()
+    big2 = persist_in(big2, scope)
     sub_sizes = big2.groupBy("band", "band_hash", "band2", "band2_hash").agg(
         F.count("*").alias("sub_n"),
         F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_sub_hub"),

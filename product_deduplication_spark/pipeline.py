@@ -18,10 +18,11 @@ and returns the handle dict so callers can persist any stage as a snapshot.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from product_deduplication_spark.caching import CacheScope
 from product_deduplication_spark.config import DedupConfig
 from product_deduplication_spark.functions.features import make_extract_text_udf, with_features
 from product_deduplication_spark.operators.connected_components import (
@@ -41,6 +42,16 @@ class DedupResult:
     near_edges: DataFrame  # verified near-dup edges
     all_edges: DataFrame
     clusters: DataFrame    # url, doc_id, cluster_id, is_winner
+    # every cache the pipeline created (features + operator-internal
+    # persists); callers release after materializing whichever outputs they
+    # need — required when running the pipeline repeatedly in one session
+    caches: CacheScope = field(default_factory=CacheScope)
+
+    def release(self) -> None:
+        """Unpersist every cache this run created (features, LSH bucket
+        members, CC contraction mapping). Re-reading a DedupResult DataFrame
+        afterwards recomputes it from source."""
+        self.caches.release()
 
 
 def prepare_docs(df: DataFrame, cfg: DedupConfig, validate_extraction: bool = False) -> DataFrame:
@@ -125,6 +136,7 @@ def run_dedup(
     validate_extraction: bool = False,
 ) -> DedupResult:
     cfg = cfg or DedupConfig()
+    scope = CacheScope()
     docs = prepare_docs(df, cfg, validate_extraction=validate_extraction)
     eligible = docs.where(F.length("text") >= cfg.min_doc_chars)
 
@@ -133,11 +145,11 @@ def run_dedup(
     ).select("doc_id", "shingles", "minhash", "simhash", "bands")
     # features feed 2-3 downstream consumers — cache once (at cluster scale
     # this stage is persisted as a snapshot table instead, see catalog.py)
-    feats = feats.persist()
+    feats = scope.persist(feats)
 
     exact = exact_duplicate_edges(eligible, "doc_id", "text")
 
-    lsh_pairs = candidate_pairs(feats, cfg)
+    lsh_pairs = candidate_pairs(feats, cfg, scope=scope)
     pairs = lsh_pairs
     if use_simhash:
         pairs = pairs.unionByName(simhash_candidate_pairs(feats, cfg)).dropDuplicates(
@@ -151,7 +163,8 @@ def run_dedup(
     # equality with the uncontracted CC is pinned in tests; at web scale the
     # exact stars dominate the edge list)
     clustered = assign_clusters_contracted(
-        docs, exact.select("src", "dst"), near.select("src", "dst"), "doc_id"
+        docs, exact.select("src", "dst"), near.select("src", "dst"), "doc_id",
+        scope=scope,
     )
     clustered = pick_winners(clustered)
     return DedupResult(
@@ -161,4 +174,5 @@ def run_dedup(
         near_edges=near,
         all_edges=all_edges,
         clusters=clustered,
+        caches=scope,
     )

@@ -585,13 +585,20 @@ def q_minhash_dedup_clusters(spark, sf):
     stats = clusters.agg(
         F.count("*").alias("_n"),
         F.countDistinct("doc_id").alias("_nd"),
-        F.sum(F.col("is_winner").cast("long")).alias("_nw"),
-        F.countDistinct("cluster_id").alias("_nc"),
+    )
+    # per-cluster winner check: count clusters whose winner count != 1 and
+    # pin it to zero (the aggregate sum(is_winner) == countDistinct(cluster)
+    # form passes when one cluster has two winners and another has zero)
+    bad_winner_clusters = (
+        clusters.groupBy("cluster_id")
+        .agg(F.sum(F.col("is_winner").cast("long")).alias("_w"))
+        .where(F.col("_w") != 1)
     )
     row = (
         stats.crossJoin(sdf.agg(F.count("*").alias("_ni")))
         .crossJoin(truth.agg(F.count("*").alias("_nt")))
         .crossJoin(hits.agg(F.count("*").alias("_nh")))
+        .crossJoin(bad_winner_clusters.agg(F.count("*").alias("_nbad")))
     )
     recall = F.when(F.col("_nt") > 0, F.col("_nh") / F.col("_nt")).otherwise(F.lit(1.0))
     return row.select(
@@ -599,7 +606,7 @@ def q_minhash_dedup_clusters(spark, sf):
         ((F.col("_n") == F.col("_nd")) & (F.col("_n") == F.col("_ni")))
         .cast("int")
         .alias("coverage_ok"),
-        (F.col("_nw") == F.col("_nc")).cast("int").alias("winners_ok"),
+        (F.col("_nbad") == 0).cast("int").alias("winners_ok"),
         (recall >= F.lit(0.99)).cast("int").alias("recall_ok"),
     )
 

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from product_deduplication_spark.caching import CacheScope
 from product_deduplication_spark.catalog import SnapshotCatalog
 from product_deduplication_spark.config import DedupConfig
 from product_deduplication_spark.functions.features import with_features
@@ -166,7 +167,12 @@ def incremental_dedup(
         "doc_id", "shingles", "minhash", "simhash", "bands"
     )
     feats = new_feats if old_feats is None else old_feats.unionByName(new_feats)
-    feats = feats.persist()
+    # every cache this batch creates (features + candidate_pairs internals)
+    # is released before returning — a streaming job runs this once per
+    # micro-batch in one long-lived session, so leaked CacheManager entries
+    # would accumulate unboundedly (see caching.py)
+    scope = CacheScope()
+    feats = scope.persist(feats)
 
     # exact short circuit (V11): cheap sha2 equality, no LSH needed for hits.
     # Delta-restricted like LSH: only hash groups containing a new doc emit
@@ -184,7 +190,9 @@ def incremental_dedup(
 
     # delta mode: only (new, any) candidate pairs — per-batch LSH cost is
     # proportional to the delta, not the accumulated corpus
-    pairs = candidate_pairs(feats, cfg, delta_ids=None if bootstrap else new_ids)
+    pairs = candidate_pairs(
+        feats, cfg, delta_ids=None if bootstrap else new_ids, scope=scope
+    )
     near = verify_pairs(pairs, feats, cfg).select("src", "dst")
 
     edges = exact_edges.unionByName(near)
@@ -230,7 +238,7 @@ def incremental_dedup(
     catalog.write_stage(
         truly_new, DOCS_STAGE, metrics=fmt | {"new_docs": truly_new.count()}
     )
-    feats.unpersist()
+    scope.release()
     if (
         auto_compact is not None
         and len(catalog.active_snapshots(CLUSTERS_STAGE)) > auto_compact
