@@ -9,8 +9,17 @@ Training-data-pipeline op (embedding-cosine near-dup / retrieval):
   SimHash for real vectors). Candidates = vectors sharing a bucket in any of
   ``n_tables`` hash tables; exact cosine re-rank on candidates only. The
   scale path: candidate generation is a shuffle on (table, bucket) keys —
-  same relational shape as MinHash-LSH banding, same hot-bucket star/cap
-  controls would apply.
+  same relational shape as MinHash-LSH banding, with the same hot-bucket
+  control: corpus buckets over ``bucket_cap`` members are deterministically
+  THINNED (hash-stride subsample, expected <= cap survivors) before the
+  bucket join, so a degenerate embedding corpus (millions of identical /
+  zero vectors → one bucket per table) costs O(|queries| x cap) candidate
+  rows instead of O(|queries| x |bucket|). The size agg is algebraic
+  (map-side partials) and the thinning filter is per-row, so the hot key
+  never concentrates more than its member rows on a reducer — exactly the
+  lsh.py skew story, adapted to top-k semantics (a star edge is enough for
+  dedup connectivity; top-k instead keeps a bounded deterministic sample to
+  re-rank, trading recall only inside pathologically-hot buckets).
 
 Both return (query_id, neighbor_id, cos, rk) with deterministic tie-breaks.
 """
@@ -79,6 +88,53 @@ def make_hyperplane_udf(dim: int, n_bits: int, n_tables: int, seed: int = 42):
     return bucket_keys
 
 
+def ann_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = 2048,
+) -> DataFrame:
+    """(query_id, qv, neighbor_id, cv) candidate rows from shared LSH
+    buckets, with hot corpus buckets thinned to ~``bucket_cap`` members.
+
+    The thinning is a deterministic hash-stride subsample: a bucket of n >
+    cap members keeps rows where xxhash64(id, bucket) % ceil(n/cap) == 0 —
+    expected <= cap survivors, identical for every query probing the bucket,
+    no window/sort on the hot key. ``bucket_cap=None`` disables."""
+    udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+    if bucket_cap is not None:
+        sizes = c.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        stride = F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("long")
+        c = (
+            c.join(sizes, "bucket")
+            .where(
+                (F.col("_bn") <= bucket_cap)
+                | (F.pmod(F.xxhash64("neighbor_id", "bucket"), stride) == 0)
+            )
+            .drop("_bn")
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+    return (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -89,23 +145,11 @@ def ann_topk(
     n_bits: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    bucket_cap: int | None = 2048,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k with exact re-rank of candidates."""
-    udf = make_hyperplane_udf(dim, n_bits, n_tables, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        F.explode(udf(F.col(vec_col))).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        F.explode(udf(F.col(vec_col))).alias("bucket"),
-    )
-    cands = (
-        q.join(c, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cands = ann_candidates(
+        queries, corpus, id_col, vec_col, dim, n_bits, n_tables, seed, bucket_cap
     )
     ranked = cands.withColumn("cos", F.round(_cos_expr("qv", "cv"), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -4,7 +4,11 @@ from __future__ import annotations
 
 import pytest
 
-from product_deduplication_spark.operators.knn import ann_topk, brute_force_topk
+from product_deduplication_spark.operators.knn import (
+    ann_candidates,
+    ann_topk,
+    brute_force_topk,
+)
 from product_deduplication_spark.operators.multimodal import (
     DecodeBackend,
     exact_media_dedup,
@@ -90,3 +94,34 @@ def test_ann_matches_bruteforce_topk(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf_cos:
             assert abs(bf_cos[key] - r["cos"]) < 1e-9
+
+
+def test_ann_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """Adversarial skew (VERDICT r04 #3): a corpus of N identical embeddings
+    puts every vector in ONE bucket per table; uncapped self-ANN enumerates
+    N^2 candidate rows per table. The hash-stride thinning must bound the
+    candidate relation to ~|queries| x tables x cap while ann_topk still
+    returns a full, correct top-k (all cosines 1.0, ranks 1..k)."""
+    n, cap, tables = 10_000, 16, 8
+    emb = spark.range(n).selectExpr(
+        "id as vec_id", "array(1.0f, 0.0f, 2.0f, 0.0f, 3.0f, 0.0f, 4.0f, 0.0f) as embedding"
+    )
+    cands = ann_candidates(
+        emb, emb, dim=8, n_bits=4, n_tables=tables, bucket_cap=cap
+    )
+    n_cands = cands.count()
+    # per query: <= tables x (expected cap survivors, binomial slack 4x)
+    assert 0 < n_cands <= n * tables * cap * 4
+    # top-k over the capped candidates: every query still gets k exact-cos
+    # neighbors (identical vectors -> cos 1.0, deterministic id tie-break)
+    k = 3
+    queries = emb.where("vec_id < 20")
+    res = ann_topk(queries, emb, k=k, dim=8, n_bits=4, n_tables=tables, bucket_cap=cap)
+    rows = res.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["cos"] == 1.0
+    assert len(per_q) == 20
+    for q, rs in per_q.items():
+        assert sorted(r["rk"] for r in rs) == list(range(1, k + 1))
