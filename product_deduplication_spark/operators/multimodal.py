@@ -1,13 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-Training-data-pipeline ops over binary payload columns. The decode kernels
-(image decode, audio resample, video frame extraction) require codec
-libraries that are NOT in this container, so the decode step is stubbed
-behind ``DecodeBackend`` — either raising ``NotImplementedError`` (strict
-mode) or producing a deterministic fake (test mode). Everything Spark-side
-is real and tested: schemas, Arrow batch shapes, ``mapInPandas`` streaming
-(binary payloads never accumulate on the driver), partition sizing by
-byte budget.
+Training-data-pipeline ops over binary payload columns. Decode backends:
+
+- ``PngDecodeBackend`` — a REAL image decoder for PNG payloads built on
+  nothing but stdlib ``zlib`` + the PNG filter spec (no codec libraries
+  exist in this container): chunk parse → inflate → per-scanline unfilter
+  (all five filter types) → pixel array → mean-pooled grayscale feature,
+  ``feature_kind="png-stdlib"``.
+- ``DecodeBackend`` (base) — for codecs that genuinely need external
+  libraries (JPEG/audio/video): raises ``NotImplementedError`` in strict
+  mode, or produces a deterministic sha-seeded fake labeled
+  ``feature_kind="stub"`` so it can never be mistaken for a real embedding.
+
+Everything Spark-side is real and tested either way: schemas, Arrow batch
+shapes, ``mapInPandas`` streaming (binary payloads never accumulate on the
+driver), partition sizing by byte budget.
 
 Schema convention:
     media(doc_url string, kind string, payload binary,
@@ -17,6 +24,8 @@ Schema convention:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -98,6 +107,165 @@ class DecodeBackend:
         v = rng.standard_normal(self.dim).astype(np.float32)
         return v / np.linalg.norm(v)
 
+    def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
+        """(feature, provenance) — backends that handle several payload
+        classes (real codec vs stub fallback) override this so each ROW is
+        labeled by how it was actually decoded."""
+        v = self.decode_features(payload)
+        return v, (None if v is None else self.feature_kind)
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8): gray, RGB, palette, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit, non-interlaced PNG to a (h, w, channels) uint8 array
+    using only the stdlib: chunk walk → IDAT inflate (``zlib``) → per-
+    scanline unfilter per the PNG spec (filters 0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth). Palette images are expanded through PLTE to RGB.
+
+    Raises ValueError on anything outside that envelope (16-bit depth,
+    Adam7 interlace, truncated chunks) — the caller decides whether that
+    means strict failure or stub fallback.
+    """
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); this decoder covers 8-bit non-interlaced"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] — a per-channel
+            # prefix sum (mod-256 addition is linear, so cumsum % 256 works)
+            cur = np.cumsum(line.reshape(width, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f == 3:  # Average (sequential in x: depends on recon[x-bpp])
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    px = out.reshape(height, width, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def png_grid_feature(px: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Pixel array → unit-norm feature: grayscale (mean over color channels,
+    alpha excluded), mean-pooled onto a sqrt(dim) x sqrt(dim) grid, scaled
+    to [0, 1], L2-normalized (constant-image fallback: uniform vector)."""
+    g = int(round(dim**0.5))
+    if g * g != dim:
+        raise ValueError(f"dim must be a perfect square, got {dim}")
+    ch = px.shape[2]
+    color = px[:, :, :3] if ch >= 3 else px[:, :, :1]
+    gray = color.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rows = np.floor(np.arange(h) * g / h).astype(np.int64)
+    cols = np.floor(np.arange(w) * g / w).astype(np.int64)
+    pooled = np.zeros((g, g), dtype=np.float64)
+    counts = np.zeros((g, g), dtype=np.int64)
+    np.add.at(pooled, (rows[:, None], cols[None, :]), gray)
+    np.add.at(counts, (rows[:, None], cols[None, :]), 1)
+    pooled = pooled / np.maximum(counts, 1) / 255.0
+    v = pooled.reshape(dim).astype(np.float32)
+    norm = float(np.linalg.norm(v))
+    if norm == 0.0:
+        v = np.full(dim, 1.0 / dim**0.5, dtype=np.float32)
+        norm = 1.0
+    return v / norm
+
+
+class PngDecodeBackend(DecodeBackend):
+    """Real PNG decode via stdlib zlib + the filter spec (module docstring).
+
+    PNG payloads produce genuine pixel-statistics features
+    (``feature_kind="png-stdlib"``); non-PNG payloads fall back to the
+    deterministic stub (``"stub"``) or, in strict mode, raise — so a mixed
+    media table is decodable end-to-end with per-row provenance."""
+
+    @property
+    def feature_kind(self) -> str:
+        return "png-stdlib"
+
+    def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
+        if payload is None:
+            return None, None
+        if payload.startswith(PNG_MAGIC):
+            return png_grid_feature(decode_png(payload), self.dim), self.feature_kind
+        if self.strict:
+            raise NotImplementedError(
+                "non-PNG media payload in strict mode: JPEG/audio/video decode "
+                "requires codec libraries not present in this environment"
+            )
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "big")
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(self.dim).astype(np.float32)
+        return v / np.linalg.norm(v), "stub"
+
+    def decode_features(self, payload: bytes | None) -> np.ndarray | None:
+        return self.decode_with_kind(payload)[0]
+
 
 def extract_media_features(
     media: DataFrame, backend: DecodeBackend | None = None, batch_budget_bytes: int = 64 << 20
@@ -111,8 +279,6 @@ def extract_media_features(
     """
     backend = backend or DecodeBackend()
 
-    fkind = backend.feature_kind
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, hashes, sizes, kinds = [], [], [], []
@@ -125,9 +291,9 @@ def extract_media_features(
                     continue
                 hashes.append(hashlib.sha256(payload).hexdigest())
                 sizes.append(len(payload))
-                v = backend.decode_features(payload)
+                v, kind = backend.decode_with_kind(payload)
                 feats.append(None if v is None else v.tolist())
-                kinds.append(None if v is None else fkind)
+                kinds.append(kind)
             yield pd.DataFrame(
                 {
                     "doc_url": pdf["doc_url"],
