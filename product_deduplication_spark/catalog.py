@@ -34,6 +34,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class ConcurrentSnapshotError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer appended a snapshot
+    for this stage between the caller's read of the manifest and its commit
+    (Iceberg analog: a commit conflict on the table's current snapshot id).
+    The attempted write left only an orphan data directory — catalog state
+    is untouched; the caller may re-read and retry."""
+
+
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -61,17 +69,24 @@ class SnapshotCatalog:
 
     def active_snapshots(self, stage: str) -> list[dict]:
         """Snapshots that constitute the stage's CURRENT state: everything
-        from the most recent ``replaces_prior`` snapshot (a compaction
-        rewrite) onward. ``snapshots()`` keeps the full append-only history
-        for time travel; readers of delta stages use this view so a
-        compaction truncates their union without rewriting the manifest
-        (Iceberg analog: a rewrite/compaction commit replacing prior data
-        files while old snapshots stay time-travelable)."""
+        from the most recent ``replaces_prior`` snapshot (a full compaction
+        rewrite) onward, minus any snapshots superseded by a later entry's
+        ``replaces_ids`` (a minor/delta compaction that merged a SUBSET of
+        prior deltas without rewriting the base). ``snapshots()`` keeps the
+        full append-only history for time travel; readers of delta stages
+        use this view so a compaction truncates their union without
+        rewriting the manifest (Iceberg analog: a rewrite/compaction commit
+        replacing prior data files while old snapshots stay
+        time-travelable)."""
         entries = self.snapshots(stage)
         for i in range(len(entries) - 1, -1, -1):
             if entries[i].get("replaces_prior"):
-                return entries[i:]
-        return entries
+                entries = entries[i:]
+                break
+        replaced: set[str] = set()
+        for e in entries:
+            replaced.update(e.get("replaces_ids") or [])
+        return [e for e in entries if e["snapshot_id"] not in replaced]
 
     def latest(self, stage: str) -> dict | None:
         entries = self.snapshots(stage)
@@ -88,19 +103,43 @@ class SnapshotCatalog:
         stage: str,
         metrics: dict | None = None,
         replaces_prior: bool = False,
+        replaces_ids: list[str] | None = None,
+        expected_latest_id: str | None | bool = False,
     ) -> dict:
         """Persist a stage output as a new snapshot; records per-partition
         lineage (rows per partition) + caller metrics in the manifest.
 
-        ``replaces_prior=True`` marks a compaction rewrite: the snapshot
-        holds the stage's FULL current state and ``active_snapshots`` stops
-        unioning anything older. The parquet write completes before the
+        ``replaces_prior=True`` marks a full compaction rewrite: the
+        snapshot holds the stage's FULL current state and
+        ``active_snapshots`` stops unioning anything older.
+        ``replaces_ids`` marks a minor (delta) compaction: the snapshot
+        supersedes exactly those prior snapshot ids, leaving the base and
+        later deltas in place. The parquet write completes before the
         manifest line is appended, so a crash mid-compaction leaves only an
-        orphan directory — readers stay consistent on the prior snapshots."""
+        orphan directory — readers stay consistent on the prior snapshots.
+
+        ``expected_latest_id``: optimistic concurrency for compactions —
+        pass the stage's latest snapshot_id (or None for an empty stage) as
+        observed when the caller READ the state it is rewriting; if another
+        writer appended in between, the commit is refused with
+        ``ConcurrentSnapshotError`` *after* the parquet write (orphan dir,
+        no manifest entry) so a concurrent batch's delta is never silently
+        dropped from the active set. The default (False) skips the check —
+        plain delta appends are order-insensitive and need no guard."""
         snapshot_id = uuid.uuid4().hex[:16]
         parent = self.latest(stage)
         path = os.path.join(self.root, stage, snapshot_id)
         df.write.mode("errorifexists").parquet(path)
+        if expected_latest_id is not False:
+            current = self.latest(stage)
+            current_id = current["snapshot_id"] if current else None
+            if current_id != expected_latest_id:
+                raise ConcurrentSnapshotError(
+                    f"stage {stage!r}: expected latest snapshot "
+                    f"{expected_latest_id!r} but found {current_id!r} — "
+                    "another writer committed since this compaction read its "
+                    "input; aborting (orphan data dir only, state untouched)"
+                )
         written = self.spark.read.parquet(path)
         part_rows = {
             str(r["_pid"]): r["n"]
@@ -119,6 +158,7 @@ class SnapshotCatalog:
             "metrics": metrics or {},
             "path": path,
             "replaces_prior": replaces_prior,
+            "replaces_ids": replaces_ids or [],
         }
         self._append_manifest(entry)
         return entry

@@ -98,26 +98,82 @@ def _check_format(catalog: SnapshotCatalog) -> None:
         )
 
 
+def _expected_latest(catalog: SnapshotCatalog, stage: str) -> str | None:
+    entry = catalog.latest(stage)
+    return entry["snapshot_id"] if entry else None
+
+
 def compact_snapshots(catalog: SnapshotCatalog) -> None:
-    """Rewrite each delta stage's CURRENT state as one ``replaces_prior``
-    snapshot, truncating the read-side union (the latest-wins / doc_id-dedup
-    window otherwise grows with batch count — merge-on-read cost must be
-    bounded by state size, not history length; Iceberg analog: a
-    rewrite-data-files compaction commit).
+    """FULL compaction: rewrite each delta stage's CURRENT state as one
+    ``replaces_prior`` snapshot, truncating the read-side union (the
+    latest-wins / doc_id-dedup window otherwise grows with batch count —
+    merge-on-read cost must be bounded by state size, not history length;
+    Iceberg analog: a rewrite-data-files compaction commit). I/O is
+    O(state) — use :func:`compact_deltas` when the accumulated deltas are
+    small relative to the base (size-tiered policy in incremental_dedup).
 
     Stages compact independently and each is committed by its manifest
     append AFTER its parquet write, so a crash mid-compaction leaves every
     stage readable (at worst an orphan data directory). The full manifest
-    history stays time-travelable via ``catalog.snapshots``."""
+    history stays time-travelable via ``catalog.snapshots``.
+
+    Concurrency: compaction assumes a single writer per stage; the commit
+    carries the latest snapshot id observed at read time, so a delta batch
+    landing mid-compaction raises ``ConcurrentSnapshotError`` instead of
+    being silently truncated out of the active set."""
     fmt = {"format": FORMAT_VERSION, "compaction": True}
+    expected = {s: _expected_latest(catalog, s) for s in (DOCS_STAGE, FEATURES_STAGE, CLUSTERS_STAGE)}
     docs = catalog.read_stage_union(DOCS_STAGE).dropDuplicates(["doc_id"])
     feats = catalog.read_stage_union(FEATURES_STAGE).dropDuplicates(["doc_id"])
     clusters = read_clusters(catalog).withColumn(
         "batch_seq", F.lit(len(catalog.snapshots(CLUSTERS_STAGE)))
     )
-    catalog.write_stage(feats, FEATURES_STAGE, metrics=fmt, replaces_prior=True)
-    catalog.write_stage(clusters, CLUSTERS_STAGE, metrics=fmt, replaces_prior=True)
-    catalog.write_stage(docs, DOCS_STAGE, metrics=fmt, replaces_prior=True)
+    catalog.write_stage(feats, FEATURES_STAGE, metrics=fmt, replaces_prior=True,
+                        expected_latest_id=expected[FEATURES_STAGE])
+    catalog.write_stage(clusters, CLUSTERS_STAGE, metrics=fmt, replaces_prior=True,
+                        expected_latest_id=expected[CLUSTERS_STAGE])
+    catalog.write_stage(docs, DOCS_STAGE, metrics=fmt, replaces_prior=True,
+                        expected_latest_id=expected[DOCS_STAGE])
+
+
+def compact_deltas(catalog: SnapshotCatalog) -> None:
+    """MINOR (size-tiered) compaction: merge ONLY the accumulated delta
+    snapshots into one snapshot per stage via ``replaces_ids``, leaving the
+    base ``replaces_prior`` snapshot untouched. I/O is proportional to the
+    DELTA volume, not the state — at 10^12 docs rewriting the full state
+    every N batches is a major job, but the deltas between compactions stay
+    small, so this bounds the merge-on-read width (base + 1 merged delta +
+    recents) at delta cost.
+
+    Correctness: CLUSTERS rows keep their original ``batch_seq`` after
+    latest-wins within the merged window, so the reader's latest-wins
+    against the base (older seqs) and future deltas (newer seqs) is
+    unchanged; DOCS/FEATURES merge by doc_id-dedup, same as the read path.
+    Same single-writer guard as full compaction."""
+    fmt = {"format": FORMAT_VERSION, "compaction": "minor"}
+    for stage in (FEATURES_STAGE, CLUSTERS_STAGE, DOCS_STAGE):
+        expected = _expected_latest(catalog, stage)
+        active = catalog.active_snapshots(stage)
+        deltas = [e for e in active if not e.get("replaces_prior")]
+        if len(deltas) < 2:
+            continue
+        union = catalog.spark.read.parquet(*[e["path"] for e in deltas])
+        if stage == CLUSTERS_STAGE:
+            w = Window.partitionBy("doc_id").orderBy(F.desc("batch_seq"))
+            merged = (
+                union.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = union.dropDuplicates(["doc_id"])
+        catalog.write_stage(
+            merged,
+            stage,
+            metrics=fmt,
+            replaces_ids=[e["snapshot_id"] for e in deltas],
+            expected_latest_id=expected,
+        )
 
 
 def incremental_dedup(
@@ -126,13 +182,20 @@ def incremental_dedup(
     new_docs: DataFrame,
     cfg: DedupConfig | None = None,
     auto_compact: int | None = 16,
+    compact_tier_fraction: float = 0.5,
 ) -> DataFrame:
     """Process a batch of new docs against the catalog state; snapshots the
     per-batch deltas and returns the updated full cluster assignment.
 
     ``auto_compact``: when the ACTIVE snapshot count of the clusters stage
-    exceeds this after the batch commits, ``compact_snapshots`` runs —
-    bounding every subsequent read's union width. None disables."""
+    exceeds this after the batch commits, a compaction runs — bounding every
+    subsequent read's union width. None disables. The compaction is
+    SIZE-TIERED: if the accumulated delta rows are under
+    ``compact_tier_fraction`` of the base snapshot's rows, only the deltas
+    are merged (``compact_deltas`` — I/O proportional to delta volume);
+    otherwise, or when no base exists yet, the full state is rewritten
+    (``compact_snapshots``). At 10^12 docs this is the difference between a
+    bounded housekeeping job every N batches and an O(corpus) rewrite."""
     cfg = cfg or DedupConfig()
     new_prepared = prepare_docs(new_docs, cfg).select("url", "doc_id", "text")
 
@@ -239,11 +302,17 @@ def incremental_dedup(
         truly_new, DOCS_STAGE, metrics=fmt | {"new_docs": truly_new.count()}
     )
     scope.release()
-    if (
-        auto_compact is not None
-        and len(catalog.active_snapshots(CLUSTERS_STAGE)) > auto_compact
-    ):
-        compact_snapshots(catalog)
+    if auto_compact is not None:
+        active = catalog.active_snapshots(CLUSTERS_STAGE)
+        if len(active) > auto_compact:
+            base = active[0] if active[0].get("replaces_prior") else None
+            delta_rows = sum(
+                e["rows"] for e in active if not e.get("replaces_prior")
+            )
+            if base is None or delta_rows >= compact_tier_fraction * base["rows"]:
+                compact_snapshots(catalog)
+            else:
+                compact_deltas(catalog)
     return read_clusters(catalog)
 
 

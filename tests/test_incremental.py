@@ -3,7 +3,9 @@ makes snapshot-incremental processing trustworthy)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from product_deduplication_spark.catalog import SnapshotCatalog
 from product_deduplication_spark.config import DedupConfig
@@ -200,6 +202,82 @@ def test_compaction_preserves_state_and_bounds_reads(spark, tmp_path):
     assert _partition_pairs(res.collect()) == _partition_pairs(
         full_res.clusters.select("url", "cluster_id").collect()
     )
+
+
+def test_size_tiered_compaction_minor_merges_deltas_only(spark, tmp_path):
+    """VERDICT r04 #6: once a base exists and the accumulated deltas are
+    small relative to it, compaction must merge ONLY the deltas
+    (replaces_ids, I/O proportional to delta volume) instead of rewriting
+    the full state — while read_clusters stays equal to a full recompute."""
+    from product_deduplication_spark.streaming import incremental as inc
+
+    docs, _ = generate_web_documents(n_base_docs=80, seed=47)
+    base_n = int(len(docs) * 0.7)
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_tier"))
+    # bootstrap (large) + one more batch -> width 2 -> first compaction has
+    # no base yet, so it must be FULL (establishes the base)
+    incremental_dedup(spark, cat, spark.createDataFrame(docs.iloc[:base_n][["url", "text"]]), CFG)
+    rest = docs.iloc[base_n:]
+    step = max(1, len(rest) // 5)
+    batches = [rest.iloc[i * step : (i + 1) * step] for i in range(5)]
+    batches = [b for b in batches if len(b)]
+    incremental_dedup(spark, cat, spark.createDataFrame(batches[0][["url", "text"]]), CFG, auto_compact=1)
+    snaps = cat.snapshots(inc.CLUSTERS_STAGE)
+    assert snaps[-1]["replaces_prior"] and not snaps[-1]["replaces_ids"]
+    base_rows = snaps[-1]["rows"]
+
+    # two more small batches -> width 3 > 2 -> deltas are tiny vs base ->
+    # MINOR compaction: replaces_ids set, base untouched, rows ~ delta-sized
+    for b in batches[1:3]:
+        incremental_dedup(spark, cat, spark.createDataFrame(b[["url", "text"]]), CFG, auto_compact=2)
+    snaps = cat.snapshots(inc.CLUSTERS_STAGE)
+    minor = snaps[-1]
+    assert not minor["replaces_prior"] and len(minor["replaces_ids"]) >= 2
+    assert minor["rows"] < base_rows, "minor compaction rewrote ~full state"
+    active = cat.active_snapshots(inc.CLUSTERS_STAGE)
+    assert len(active) == 2  # base + merged delta
+    assert active[0]["replaces_prior"] and active[1] == minor
+    # every stage's minor entry is delta-proportional
+    for stage in (inc.DOCS_STAGE, inc.FEATURES_STAGE):
+        s = cat.snapshots(stage)[-1]
+        assert s["replaces_ids"] and s["rows"] < base_rows
+
+    # state equality after more batches: incremental == full recompute
+    res = incremental_dedup(
+        spark, cat, spark.createDataFrame(batches[3][["url", "text"]]), CFG, auto_compact=None
+    )
+    seen = pd.concat([docs.iloc[:base_n]] + batches[:4])
+    full_res = run_dedup(spark.createDataFrame(seen[["url", "text"]]), CFG)
+    assert _partition_pairs(res.collect()) == _partition_pairs(
+        full_res.clusters.select("url", "cluster_id").collect()
+    )
+
+
+def test_compaction_concurrent_writer_guard(spark, tmp_path):
+    """ADVICE r04: a delta batch committing between a compaction's read and
+    its manifest append must abort the compaction (ConcurrentSnapshotError),
+    never be silently truncated out of the active set."""
+    from product_deduplication_spark.catalog import ConcurrentSnapshotError
+    from product_deduplication_spark.streaming import incremental as inc
+
+    docs, _ = generate_web_documents(n_base_docs=40, seed=61)
+    half = len(docs) // 2
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc_guard"))
+    incremental_dedup(spark, cat, spark.createDataFrame(docs.iloc[:half][["url", "text"]]), CFG)
+    # "compaction" reads state here...
+    stale = inc._expected_latest(cat, inc.CLUSTERS_STAGE)
+    state = inc.read_clusters(cat).withColumn("batch_seq", F.lit(99))
+    # ...but another batch commits in between
+    incremental_dedup(spark, cat, spark.createDataFrame(docs.iloc[half:][["url", "text"]]), CFG)
+    interloper = cat.snapshots(inc.CLUSTERS_STAGE)[-1]["snapshot_id"]
+    with pytest.raises(ConcurrentSnapshotError):
+        cat.write_stage(
+            state, inc.CLUSTERS_STAGE, replaces_prior=True, expected_latest_id=stale
+        )
+    # the interloper's delta is still active and state is intact
+    active_ids = {e["snapshot_id"] for e in cat.active_snapshots(inc.CLUSTERS_STAGE)}
+    assert interloper in active_ids
+    assert inc.read_clusters(cat).count() == len(docs)
 
 
 def test_auto_compaction_triggers_on_snapshot_count(spark, tmp_path):
