@@ -34,10 +34,11 @@ sys.path.insert(0, _REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "12000"))
-# --scaling uses a much bigger corpus (4x round-2): the scaling gate must be
-# throughput-bound — fixed per-job overhead (driver latency, JVM warmup) at
-# small corpora swamps the parallel fraction and caps measurable efficiency
-SCALING_CORPUS_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", "240000"))
+# --scaling uses a much bigger corpus (2x round-4, 8x round-2): the scaling
+# gate must be throughput-bound — fixed per-job overhead (driver latency, JVM
+# warmup) at small corpora swamps the parallel fraction and caps measurable
+# efficiency; at 741k generated docs the dedup job's compute share dominates
+SCALING_CORPUS_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", "480000"))
 # min-of-N per query: this sandbox is a shared VM with heavy noisy-neighbor
 # interference (identical code measured 13.8s..29.3s back-to-back) — the
 # minimum estimates true machine capability (same methodology as --scaling)
@@ -223,16 +224,20 @@ def run_bench(master: str | None = None, shuffle: int | None = None) -> dict:
     }
 
 
-def _scaling_child(cores: int, repeats: int = 2) -> dict:
+def _scaling_child(cores: int, repeats: int = 2, warmup: int = 1) -> dict:
     """Run the dedup job in a fresh subprocess at local[cores].
 
-    The job runs ``repeats`` times in the warm JVM and the BEST time is
-    reported (see run_scaling for the interleaving that makes levels
-    comparable on this noisy host). After the end-to-end repeats, ONE
-    instrumented pass times each pipeline stage separately (every stage
-    persisted + counted so timings are additive) — the per-stage 8-vs-32
-    table is what attributes any residual efficiency gap to a specific
-    stage instead of a narrative.
+    ``warmup`` DISCARDED reps run first (codegen compilation, python-worker
+    fork pool, parquet footer/page cache — round-4 showed rep 1 absorbing
+    startup cost unevenly across levels when a throttle window flipped
+    mid-child), then the job runs ``repeats`` timed reps in the warm JVM and
+    the BEST time is reported (see run_scaling for the interleaving that
+    makes levels comparable on this noisy host). After the end-to-end
+    repeats, ONE instrumented pass times each pipeline stage separately
+    (every stage persisted + counted so timings are additive) — the
+    per-stage 8-vs-32 table is what attributes any residual efficiency gap
+    to a specific stage instead of a narrative, and the stage-pass SUM is a
+    shorter-window (less throttle-exposed) supplementary efficiency figure.
 
     shuffle partitions are CONSTANT (32) across levels: the scaling question
     is "same job, same physical plan, 4x the cores" — the cluster analog of
@@ -262,7 +267,7 @@ web = spark.read.parquet(bench._ensure_bench_corpus({SCALING_CORPUS_DOCS}))
 n = web.count()
 cfg = DedupConfig(shuffle_partitions={sp})
 best, nc = None, None
-for rep in range({repeats}):
+for rep in range({warmup} + {repeats}):
     t0 = time.perf_counter()
     res = run_dedup(web, cfg)
     nc_rep = res.clusters.select(F.countDistinct("cluster_id")).collect()[0][0]
@@ -271,6 +276,8 @@ for rep in range({repeats}):
     if nc is None:
         nc = nc_rep
     assert nc_rep == nc, "nondeterministic cluster count across repeats"
+    if rep < {warmup}:
+        continue  # discarded warm-up rep: startup cost, not engine speed
     if best is None or dt < best:
         best = dt
 # per-stage instrumented pass (additive: persist + count per stage)
@@ -297,7 +304,7 @@ for df in (feats, pairs, near):
     df.unpersist()
 print("RESULT:" + json.dumps({{"cores": {cores}, "sec": round(best,3),
       "docs": n, "docs_per_sec": round(n/best,1), "clusters": int(nc),
-      "repeats": {repeats}, "stages": stages}}))
+      "repeats": {repeats}, "warmup_reps": {warmup}, "stages": stages}}))
 spark.stop()
 """
     out = subprocess.run(
@@ -361,7 +368,7 @@ def _dram_rate(n: int) -> float:
         return sum(p.map(_dram_probe, range(n)))
 
 
-def run_scaling(rounds: int = 3) -> dict:
+def run_scaling(rounds: int = 2) -> dict:
     """Interleaved, ceiling-normalized measurement. Two measured host
     pathologies make naive timing meaningless here: (1) throttling arrives
     in multi-minute windows (the same local[32] job: 25.7s vs 91.2s twenty
@@ -370,7 +377,9 @@ def run_scaling(rounds: int = 3) -> dict:
     within one hour. So each round runs every level back-to-back, and each
     job run is bracketed by a contemporaneous ALU-ceiling probe; the
     per-level minimum across rounds picks each level's best window, and the
-    per-round ceiling contextualizes the raw efficiency."""
+    per-round ceiling contextualizes the raw efficiency. Default is
+    rounds=2 at the 2x corpus (r04 verdict): a bigger compute share per
+    level beats more rounds at a smaller, overhead-dominated corpus."""
     _ensure_bench_corpus(SCALING_CORPUS_DOCS)
     samples: dict[int, list[dict]] = {2: [], 8: [], 32: []}
     for _ in range(rounds):
@@ -384,17 +393,35 @@ def run_scaling(rounds: int = 3) -> dict:
         c: min(runs, key=lambda r: r["sec"]) | {"rounds": rounds}
         for c, runs in samples.items()
     }
+
+    def _round_detail(lo: int, hi: int, i: int) -> dict:
+        lo_s, hi_s = samples[lo][i], samples[hi][i]
+        d = {
+            "eff": round(hi_s["docs_per_sec"] / (4 * lo_s["docs_per_sec"]), 3),
+            "ceiling": round(hi_s["alu_rate"] / (4 * lo_s["alu_rate"]), 3),
+            "dram_ceiling": round(hi_s["dram_rate"] / (4 * lo_s["dram_rate"]), 3),
+        }
+        # stage-pass-sum efficiency: the instrumented pass is one short,
+        # contiguous window per child — far less throttle-exposed than the
+        # multi-rep end-to-end timing, so its sum is the de-noised
+        # supplementary figure (same stages, additive by construction)
+        if "stages" in lo_s and "stages" in hi_s:
+            ss_lo = sum(lo_s["stages"].values())
+            ss_hi = sum(hi_s["stages"].values())
+            if ss_hi > 0:
+                d["stage_sum_eff"] = round(ss_lo / (4 * ss_hi), 3)
+        return d
+
     per_round = [
         {
-            "eff_8_32": round(
-                samples[32][i]["docs_per_sec"] / (4 * samples[8][i]["docs_per_sec"]), 3
-            ),
-            "ceiling_8_32": round(
-                samples[32][i]["alu_rate"] / (4 * samples[8][i]["alu_rate"]), 3
-            ),
-            "dram_ceiling_8_32": round(
-                samples[32][i]["dram_rate"] / (4 * samples[8][i]["dram_rate"]), 3
-            ),
+            "eff_8_32": (d32 := _round_detail(8, 32, i))["eff"],
+            "ceiling_8_32": d32["ceiling"],
+            "dram_ceiling_8_32": d32["dram_ceiling"],
+            "stage_sum_eff_8_32": d32.get("stage_sum_eff"),
+            "eff_2_8": (d8 := _round_detail(2, 8, i))["eff"],
+            "ceiling_2_8": d8["ceiling"],
+            "dram_ceiling_2_8": d8["dram_ceiling"],
+            "stage_sum_eff_2_8": d8.get("stage_sum_eff"),
         }
         for i in range(rounds)
     ]
@@ -409,6 +436,18 @@ def run_scaling(rounds: int = 3) -> dict:
         if stage_best[32][s] > 0
         else None
         for s in stage_names
+    }
+    # stage-pass-sum efficiency from each level's best window (min per
+    # stage across rounds): the de-noised supplementary figure — additive
+    # stage timings from one short instrumented pass per child
+    stage_sum_best = {c: sum(stage_best[c].values()) for c in stage_best}
+    stage_sum_eff_best = {
+        "2to8": round(stage_sum_best[2] / (4 * stage_sum_best[8]), 3)
+        if stage_sum_best[8] > 0
+        else None,
+        "8to32": round(stage_sum_best[8] / (4 * stage_sum_best[32]), 3)
+        if stage_sum_best[32] > 0
+        else None,
     }
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
@@ -460,6 +499,7 @@ def run_scaling(rounds: int = 3) -> dict:
         "host_alu_ceiling_best_window": ceiling,
         "host_dram_ceiling_best_window": dram_ceiling,
         "per_round_8to32": per_round,
+        "stage_sum_efficiency_best_window": stage_sum_eff_best,
         "ceiling_normalized_efficiency_8to32": round(norm_8_32, 3),
         # upper bound, not a headline: assumes the job is bound by the
         # scarcer probe resource in that window (see generated BASELINE.md)
@@ -477,10 +517,18 @@ def run_scaling(rounds: int = 3) -> dict:
         for c, r in results.items()
     )
     per_round_rows = "\n".join(
-        f"| {i + 1} | {r['eff_8_32']} | {r['ceiling_8_32']} | "
+        f"| {i + 1} | {r['eff_8_32']} | {r['stage_sum_eff_8_32']} | "
+        f"{r['ceiling_8_32']} | "
         f"{r['dram_ceiling_8_32']} | "
         f"{_ratio(r['eff_8_32'], r['ceiling_8_32'])} | "
         f"{_ratio(r['eff_8_32'], min(r['ceiling_8_32'], r['dram_ceiling_8_32']))} |"
+        for i, r in enumerate(per_round)
+    )
+    per_round_rows_2_8 = "\n".join(
+        f"| {i + 1} | {r['eff_2_8']} | {r['stage_sum_eff_2_8']} | "
+        f"{r['ceiling_2_8']} | "
+        f"{r['dram_ceiling_2_8']} | "
+        f"{_ratio(r['eff_2_8'], r['ceiling_2_8'])} |"
         for i, r in enumerate(per_round)
     )
     stage_rows = "\n".join(
@@ -533,17 +581,28 @@ subprocesses at local[2], local[8], local[32] on identical input.
 {rows}
 
 **Scaling efficiency (N=2 → 4N=8)**  = {eff_2_8:.3f} raw
-**Scaling efficiency (N=8 → 4N=32)** = {eff_8_32:.3f} raw,
+(stage-pass-sum supplementary figure: {stage_sum_eff_best["2to8"]})
+**Scaling efficiency (N=8 → 4N=32)** = {eff_8_32:.3f} raw
+(stage-pass-sum: {stage_sum_eff_best["8to32"]}),
 **{norm_8_32:.3f} normalized to the host's contemporaneous compute (ALU)
 grant** (target >= 0.8, BASELINE.json north_rule; raw and ALU-normalized
-are the headline figures)
+are the headline figures). Each child discards
+{results[8].get("warmup_reps", 0)} warm-up rep(s) before its timed reps.
+The stage-pass-sum figure sums the per-stage instrumented pass — one
+short contiguous window per child, so it is less exposed to the host's
+multi-minute throttle windows than the end-to-end repeats; it is
+supplementary, not the headline.
 
-Per-round 8→32 detail (each job run bracketed by TWO same-process-count
+Per-round detail (each job run bracketed by TWO same-process-count
 host-ceiling probes — pure-ALU and STREAM-DRAM — so every raw efficiency
 can be read against what the host was actually granting at that moment):
 
-| round | raw eff(8→32) | ALU ceiling(8→32) | DRAM ceiling(8→32) | norm (vs ALU) | norm (vs binding) |
+| round | raw eff(2→8) | stage-sum eff | ALU ceiling(2→8) | DRAM ceiling(2→8) | norm (vs ALU) |
 |---|---|---|---|---|---|
+{per_round_rows_2_8}
+
+| round | raw eff(8→32) | stage-sum eff | ALU ceiling(8→32) | DRAM ceiling(8→32) | norm (vs ALU) | norm (vs binding) |
+|---|---|---|---|---|---|---|
 {per_round_rows}
 
 Supplementary upper-bound figure: **eff / min(ALU, DRAM) =

@@ -1,5 +1,10 @@
 """Local replica of the driver's correctness gate: every queries() entry vs
 its DuckDB oracle at sf0.01 (row count + schema + order-insensitive values).
+
+The (spark, duckdb) result pair for each query comes from the session-scoped
+``oracle_frames`` cache in conftest.py, shared with test_oracle_strict so the
+expensive Spark side (including the O(n^2) self-check truth joins) runs once
+per pytest session, not once per test file.
 """
 
 from __future__ import annotations
@@ -12,9 +17,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from product_deduplication_spark.oracle.compare import compare_frames, duckdb_conn  # noqa: E402
-
-SF01 = "/root/testdata/sf0.01"
+from product_deduplication_spark.oracle.compare import compare_frames  # noqa: E402
 
 _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
@@ -33,16 +36,8 @@ def test_every_query_has_oracle():
     assert set(_ORACLES) == set(_QUERIES)
 
 
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb_conn(SF01)
-    yield con
-    con.close()
-
-
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_query_matches_oracle(spark, duck, name):
-    spark_pdf = _QUERIES[name](spark, SF01).toPandas()
-    duck_pdf = duck.execute(_ORACLES[name]).df()
+def test_query_matches_oracle(oracle_frames, name):
+    spark_pdf, duck_pdf = oracle_frames(name)
     problems = compare_frames(spark_pdf, duck_pdf)
     assert not problems, f"{name}: {problems}"

@@ -4,6 +4,10 @@ The driver compares via order-insensitive value HASH — so float columns must
 match DuckDB bit-for-bit after both sides' ROUND(). This test enforces exact
 equality (no epsilon) for every oracle query, catching any rounding-mode or
 summation-order divergence before the driver does.
+
+Result frames come from the session-scoped ``oracle_frames`` cache in
+conftest.py (shared with test_entry_oracle), so each query's Spark side runs
+once per pytest session.
 """
 
 from __future__ import annotations
@@ -17,18 +21,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from product_deduplication_spark.oracle.compare import duckdb_conn  # noqa: E402
 
-SF01 = "/root/testdata/sf0.01"
-_QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
-
-
-@pytest.fixture(scope="module")
-def duck():
-    con = duckdb_conn(SF01)
-    yield con
-    con.close()
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -37,9 +31,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
-def test_bit_exact_vs_duckdb(spark, duck, name):
-    a = _norm(_QUERIES[name](spark, SF01).toPandas())
-    b = _norm(duck.execute(_ORACLES[name]).df())
+def test_bit_exact_vs_duckdb(oracle_frames, name):
+    spark_pdf, duck_pdf = oracle_frames(name)
+    a, b = _norm(spark_pdf), _norm(duck_pdf)
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
     for c in a.columns:
