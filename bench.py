@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -39,6 +40,15 @@ BENCH_CORPUS_DOCS = int(os.environ.get("BENCH_CORPUS_DOCS", "12000"))
 # warmup) at small corpora swamps the parallel fraction and caps measurable
 # efficiency; at 741k generated docs the dedup job's compute share dominates
 SCALING_CORPUS_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", "480000"))
+# CPU-affinity pinning for the scaling children (default ON): `local[N]`
+# bounds TASK SLOTS to N, but the JVM's GC/netty/shuffle/Arrow threads and
+# the forked Python UDF workers schedule across every host core — so an
+# unpinned local[2] child borrows far more than 2 cores, which deflates the
+# measured N→4N ratio in a way no real cluster exhibits (YARN/k8s cgroup-pin
+# an executor's whole process tree to its core grant). `taskset -c 0..N-1`
+# around the child is the faithful N-core-executor emulation; the ALU/DRAM
+# ceiling probes run under the same mask so ceilings stay matched.
+SCALING_PIN_CPUS = os.environ.get("SCALING_PIN_CPUS", "1") == "1"
 # min-of-N per query: this sandbox is a shared VM with heavy noisy-neighbor
 # interference (identical code measured 13.8s..29.3s back-to-back) — the
 # minimum estimates true machine capability (same methodology as --scaling)
@@ -225,7 +235,10 @@ def run_bench(master: str | None = None, shuffle: int | None = None) -> dict:
 
 
 def _scaling_child(cores: int, repeats: int = 2, warmup: int = 1) -> dict:
-    """Run the dedup job in a fresh subprocess at local[cores].
+    """Run the dedup job in a fresh subprocess at local[cores], with the
+    subprocess tree CPU-pinned to exactly ``cores`` host CPUs (taskset;
+    see SCALING_PIN_CPUS) so "N cores" means N cores like it does for a
+    cgroup-pinned cluster executor.
 
     ``warmup`` DISCARDED reps run first (codegen compilation, python-worker
     fork pool, parquet footer/page cache — round-4 showed rep 1 absorbing
@@ -307,12 +320,19 @@ print("RESULT:" + json.dumps({{"cores": {cores}, "sec": round(best,3),
       "repeats": {repeats}, "warmup_reps": {warmup}, "stages": stages}}))
 spark.stop()
 """
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+    argv = [sys.executable, "-c", code]
+    pinned = SCALING_PIN_CPUS and shutil.which("taskset") is not None
+    if pinned:
+        # pin the child's WHOLE process tree (JVM + forked python workers
+        # inherit the mask) to exactly `cores` CPUs — the cluster analog of
+        # an executor's cgroup cpuset; see SCALING_PIN_CPUS above
+        argv = ["taskset", "-c", f"0-{cores - 1}", *argv]
+    # pinned local[2] at the 2x corpus legitimately needs ~40 min; leave
+    # headroom for a throttle window rather than killing the whole run
+    out = subprocess.run(argv, capture_output=True, text=True, timeout=7200)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT:"):
-            return json.loads(line[len("RESULT:") :])
+            return json.loads(line[len("RESULT:") :]) | {"pinned": pinned}
     raise RuntimeError(f"scaling child ({cores} cores) failed:\n{out.stderr[-3000:]}")
 
 
@@ -329,13 +349,21 @@ def _alu_probe(_):
     return it * x.size / (time.perf_counter() - t0)
 
 
+def _pin_to(n: int) -> None:
+    """Pool-worker initializer: restrict to the same CPU mask the job child
+    runs under (see SCALING_PIN_CPUS) so ceilings are measured at matched
+    affinity. No-op when pinning is disabled or unsupported."""
+    if SCALING_PIN_CPUS and hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(n)))
+
+
 def _alu_rate(n: int) -> float:
     """Aggregate ALU throughput of n concurrent processes (pure-ALU,
     L2-resident numpy loop: no shuffle, no GIL, no memory-bandwidth
     pressure) — the instantaneous compute CEILING the host grants n procs."""
     import multiprocessing as mp
 
-    with mp.Pool(n) as p:
+    with mp.Pool(n, initializer=_pin_to, initargs=(n,)) as p:
         return sum(p.map(_alu_probe, range(n)))
 
 
@@ -364,7 +392,7 @@ def _dram_rate(n: int) -> float:
     brings its own controller."""
     import multiprocessing as mp
 
-    with mp.Pool(n) as p:
+    with mp.Pool(n, initializer=_pin_to, initargs=(n,)) as p:
         return sum(p.map(_dram_probe, range(n)))
 
 
@@ -507,8 +535,15 @@ def run_scaling(rounds: int = 2) -> dict:
         "per_stage_sec_best": stage_best,
         "per_stage_efficiency_8to32": stage_eff,
         "per_stage_efficiency_8to32_vs_dram_ceiling": stage_eff_vs_dram,
+        "cpu_pinned": bool(results[8].get("pinned")),
         "target": 0.8,
     }
+    # the measurement is hours of wall-clock: persist the raw report BEFORE
+    # rendering the markdown so a template bug can't lose the run
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(_REPO, "BENCH", "scaling_last_run.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
     def _ratio(num, den):
         return round(num / den, 3) if den and den > 0 else "?"
 
@@ -575,6 +610,15 @@ N-vs-4N-executor proxy — no real cluster exists in this sandbox): the SAME
 dedup job — full MinHash/LSH/verify/CC pipeline over the deterministic
 synthetic webtext corpus ({results[8]["docs"]} docs, seed=42) — run in fresh
 subprocesses at local[2], local[8], local[32] on identical input.
+CPU-affinity pinning: {"ON — each child's whole process tree (JVM + forked"
+" Python workers) is `taskset`-pinned to exactly N CPUs, the analog of a"
+" cluster executor's cgroup cpuset (`local[N]` alone bounds only task"
+" slots: an unpinned local[2] JVM borrows extra host cores for GC/"
+"netty/shuffle/Arrow threads, inflating the small level and deflating the"
+" ratio in a way no real N-core executor can). The ALU/DRAM ceiling probes"
+" run under the same mask." if results[8].get("pinned") else
+"OFF (SCALING_PIN_CPUS=0 or taskset unavailable) — local[N] bounds task"
+" slots only; JVM service threads may exceed N cores at small N."}
 
 | parallelism | wall sec | docs/sec | clusters |
 |---|---|---|---|
@@ -685,7 +729,6 @@ Cross-run and round-over-round narrative lives in `BENCH/NOTES.md` — this
 file is REGENERATED by `bench.py --scaling` and must contain only
 machine-derived content.
 """
-    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(_REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     return report
