@@ -49,6 +49,15 @@ SCALING_CORPUS_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", "480000"))
 # around the child is the faithful N-core-executor emulation; the ALU/DRAM
 # ceiling probes run under the same mask so ceilings stay matched.
 SCALING_PIN_CPUS = os.environ.get("SCALING_PIN_CPUS", "1") == "1"
+# interleaved-round and timed-rep counts for --scaling. CPU-pinned children
+# are the honest-but-slow protocol (a pinned local[2] pass at the 2x corpus
+# runs on exactly 2 cores, ~20 min/pass), so the wall-clock budget decides
+# these: rounds=2 x repeats=2 is the full protocol; SCALING_ROUNDS=1
+# SCALING_REPEATS=1 is the budget-constrained variant (each child still runs
+# a discarded warm-up pass, and the per-stage instrumented pass provides the
+# de-noised supplementary figure).
+SCALING_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
+SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 # min-of-N per query: this sandbox is a shared VM with heavy noisy-neighbor
 # interference (identical code measured 13.8s..29.3s back-to-back) — the
 # minimum estimates true machine capability (same methodology as --scaling)
@@ -396,7 +405,7 @@ def _dram_rate(n: int) -> float:
         return sum(p.map(_dram_probe, range(n)))
 
 
-def run_scaling(rounds: int = 2) -> dict:
+def run_scaling(rounds: int | None = None) -> dict:
     """Interleaved, ceiling-normalized measurement. Two measured host
     pathologies make naive timing meaningless here: (1) throttling arrives
     in multi-minute windows (the same local[32] job: 25.7s vs 91.2s twenty
@@ -407,16 +416,30 @@ def run_scaling(rounds: int = 2) -> dict:
     per-level minimum across rounds picks each level's best window, and the
     per-round ceiling contextualizes the raw efficiency. Default is
     rounds=2 at the 2x corpus (r04 verdict): a bigger compute share per
-    level beats more rounds at a smaller, overhead-dominated corpus."""
+    level beats more rounds at a smaller, overhead-dominated corpus.
+
+    Each completed sample is APPENDED to BENCH/scaling_samples.jsonl the
+    moment its child returns — a multi-hour measurement must survive the
+    parent dying mid-run (the first pinned round-5 attempt held every
+    result in parent memory until all rounds finished and lost 84 minutes
+    of measurement to a restart)."""
+    if rounds is None:
+        rounds = SCALING_ROUNDS
     _ensure_bench_corpus(SCALING_CORPUS_DOCS)
+    os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
+    samples_path = os.path.join(_REPO, "BENCH", "scaling_samples.jsonl")
     samples: dict[int, list[dict]] = {2: [], 8: [], 32: []}
-    for _ in range(rounds):
+    for rnd in range(rounds):
         for c in (2, 8, 32):
             alu = _alu_rate(c)
             dram = _dram_rate(c)
-            samples[c].append(
-                _scaling_child(c, repeats=2) | {"alu_rate": alu, "dram_rate": dram}
-            )
+            sample = _scaling_child(c, repeats=SCALING_REPEATS) | {
+                "alu_rate": alu,
+                "dram_rate": dram,
+            }
+            samples[c].append(sample)
+            with open(samples_path, "a") as f:
+                f.write(json.dumps({"round": rnd, "ts": time.time()} | sample) + "\n")
     results = {
         c: min(runs, key=lambda r: r["sec"]) | {"rounds": rounds}
         for c, runs in samples.items()
