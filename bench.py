@@ -58,6 +58,28 @@ SCALING_PIN_CPUS = os.environ.get("SCALING_PIN_CPUS", "1") == "1"
 # de-noised supplementary figure).
 SCALING_ROUNDS = int(os.environ.get("SCALING_ROUNDS", "2"))
 SCALING_REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+# warm-up corpus size: the discarded warm-up rep exists to absorb one-time
+# costs (codegen compilation, python-worker fork pool, parquet page cache) —
+# none of which needs a FULL pass. A pinned local[2] full pass at the 2x
+# corpus is ~30 min, so by default the warm-up runs the same pipeline over a
+# limit()-ed slice (0 = full-corpus warm-up, the round-4 behavior); a cheap
+# full-corpus column scan afterwards warms the page cache for the data pages
+# the slice skipped.
+SCALING_WARMUP_DOCS = int(os.environ.get("SCALING_WARMUP_DOCS", "80000"))
+# host-ceiling probe duration (seconds per probe). The parent's per-child
+# bracketing probes default to 4s; the child's per-stage boundary probes set
+# this to 2s in their own environment (10 boundary probes per child must not
+# rival a stage's runtime).
+SCALING_PROBE_SECS = float(os.environ.get("SCALING_PROBE_SECS", "4"))
+# launch gate: the host's per-proc cycle grant drifts in multi-minute windows
+# (measured 0.96e8..3.5e8 cycles/proc within one run — a 3.7x swing). When
+# SCALING_GATE > 0, each child's launch waits (up to SCALING_GATE_WAIT sec)
+# until a quick pinned ALU probe at that child's core count reads at least
+# GATE x the best per-proc grant seen for that core count this run — so no
+# level's only sample lands in a grant collapse. After the wait budget the
+# child launches anyway (the bracketing probes still record the regime).
+SCALING_GATE = float(os.environ.get("SCALING_GATE", "0.85"))
+SCALING_GATE_WAIT = float(os.environ.get("SCALING_GATE_WAIT", "600"))
 # min-of-N per query: this sandbox is a shared VM with heavy noisy-neighbor
 # interference (identical code measured 13.8s..29.3s back-to-back) — the
 # minimum estimates true machine capability (same methodology as --scaling)
@@ -270,7 +292,8 @@ def _scaling_child(cores: int, repeats: int = 2, warmup: int = 1) -> dict:
     """
     sp = 32
     code = f"""
-import json, sys, time
+import json, os, sys, time
+os.environ["SCALING_PROBE_SECS"] = "2"  # short boundary probes (10/child)
 sys.path.insert(0, {_REPO!r})
 import bench
 from product_deduplication_spark.session import get_spark
@@ -288,8 +311,29 @@ spark.range(1000).selectExpr("sum(id)").collect()
 web = spark.read.parquet(bench._ensure_bench_corpus({SCALING_CORPUS_DOCS}))
 n = web.count()
 cfg = DedupConfig(shuffle_partitions={sp})
+def _probe():
+    # contemporaneous host-grant probe at THIS child's core count, under
+    # the same CPU mask the job runs under (2s ALU + 2s DRAM)
+    import multiprocessing as mp
+    with mp.Pool({cores}, initializer=bench._pin_to, initargs=({cores},)) as p:
+        alu = sum(p.map(bench._alu_probe, range({cores})))
+    with mp.Pool({cores}, initializer=bench._pin_to, initargs=({cores},)) as p:
+        dram = sum(p.map(bench._dram_probe, range({cores})))
+    return {{"alu": alu, "dram": dram}}
+# DISCARDED warm-up: one-time costs (codegen compilation, python-worker
+# fork pool) amortize on a limit()-ed slice at a fraction of a full pass;
+# a full-corpus column scan afterwards warms the parquet page cache for
+# the data pages the slice skipped
+wdocs = {SCALING_WARMUP_DOCS}
+warm = web.limit(wdocs) if wdocs and wdocs < n else web
+for _ in range({warmup}):
+    wres = run_dedup(warm, cfg)
+    wres.clusters.select(F.countDistinct("cluster_id")).collect()
+    wres.release()
+if wdocs and wdocs < n:
+    web.select(F.sum(F.length("text")), F.sum(F.length("url"))).collect()
 best, nc = None, None
-for rep in range({warmup} + {repeats}):
+for rep in range({repeats}):
     t0 = time.perf_counter()
     res = run_dedup(web, cfg)
     nc_rep = res.clusters.select(F.countDistinct("cluster_id")).collect()[0][0]
@@ -298,35 +342,42 @@ for rep in range({warmup} + {repeats}):
     if nc is None:
         nc = nc_rep
     assert nc_rep == nc, "nondeterministic cluster count across repeats"
-    if rep < {warmup}:
-        continue  # discarded warm-up rep: startup cost, not engine speed
     if best is None or dt < best:
         best = dt
-# per-stage instrumented pass (additive: persist + count per stage)
+# per-stage instrumented pass (additive: persist + count per stage), each
+# stage boundary bracketed by a contemporaneous grant probe so every
+# stage's efficiency can be read against what the host was granting
+# DURING that stage's own window (not a probe minutes away)
 stages = {{}}
+probes = {{"start": _probe()}}
 t = time.perf_counter()
 docs = prepare_docs(web, cfg)
 eligible = docs.where(F.length("text") >= cfg.min_doc_chars)
 feats = with_features(eligible.select("doc_id", "text"), cfg, simhash=False
         ).select("doc_id", "shingles", "minhash", "simhash", "bands").persist()
 feats.count()
-stages["features"] = round(time.perf_counter() - t, 3); t = time.perf_counter()
+stages["features"] = round(time.perf_counter() - t, 3)
+probes["features"] = _probe(); t = time.perf_counter()
 pairs = candidate_pairs(feats, cfg).persist()
 pairs.count()
-stages["candidates"] = round(time.perf_counter() - t, 3); t = time.perf_counter()
+stages["candidates"] = round(time.perf_counter() - t, 3)
+probes["candidates"] = _probe(); t = time.perf_counter()
 near = verify_pairs(pairs, feats, cfg).select("src", "dst").persist()
 near.count()
-stages["verify"] = round(time.perf_counter() - t, 3); t = time.perf_counter()
+stages["verify"] = round(time.perf_counter() - t, 3)
+probes["verify"] = _probe(); t = time.perf_counter()
 exact = exact_duplicate_edges(eligible, "doc_id", "text")
 clustered = pick_winners(assign_clusters_contracted(
     docs, exact.select("src", "dst"), near, "doc_id"))
 clustered.select(F.countDistinct("cluster_id")).collect()
 stages["exact_cc_winners"] = round(time.perf_counter() - t, 3)
+probes["exact_cc_winners"] = _probe()
 for df in (feats, pairs, near):
     df.unpersist()
 print("RESULT:" + json.dumps({{"cores": {cores}, "sec": round(best,3),
       "docs": n, "docs_per_sec": round(n/best,1), "clusters": int(nc),
-      "repeats": {repeats}, "warmup_reps": {warmup}, "stages": stages}}))
+      "repeats": {repeats}, "warmup_reps": {warmup}, "warmup_docs": wdocs,
+      "stages": stages, "stage_probes": probes}}))
 spark.stop()
 """
     argv = [sys.executable, "-c", code]
@@ -349,13 +400,19 @@ def _alu_probe(_):
     import numpy as np
 
     x = np.arange(200_000, dtype=np.uint64)
-    t0 = time.perf_counter()
-    it = 0
-    while time.perf_counter() - t0 < 4:
-        x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(12345)
-        x ^= x >> np.uint64(29)
-        it += 1
-    return it * x.size / (time.perf_counter() - t0)
+    # best-of-3 sub-windows: a single starved scheduling slice (observed:
+    # one slice granting ~0.1% of normal) must not define the probe rate —
+    # the probe measures the GRANT CEILING, so the best slice is the signal
+    best = 0.0
+    for _w in range(3):
+        t0 = time.perf_counter()
+        it = 0
+        while time.perf_counter() - t0 < SCALING_PROBE_SECS / 3:
+            x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(12345)
+            x ^= x >> np.uint64(29)
+            it += 1
+        best = max(best, it * x.size / (time.perf_counter() - t0))
+    return best
 
 
 def _pin_to(n: int) -> None:
@@ -383,12 +440,17 @@ def _dram_probe(_):
     a = np.random.rand(n)
     b = np.random.rand(n)
     c = np.empty(n)
-    t0 = time.perf_counter()
-    it = 0
-    while time.perf_counter() - t0 < 4:
-        np.add(a, b, out=c)
-        it += 1
-    return it * 3 * 64 / (time.perf_counter() - t0)  # MiB/s of DRAM traffic
+    np.add(a, b, out=c)  # pre-touch c: page-fault its 64 MiB OUTSIDE timing
+    # best-of-3 sub-windows, same rationale as _alu_probe
+    best = 0.0
+    for _w in range(3):
+        t0 = time.perf_counter()
+        it = 0
+        while time.perf_counter() - t0 < SCALING_PROBE_SECS / 3:
+            np.add(a, b, out=c)
+            it += 1
+        best = max(best, it * 3 * 64 / (time.perf_counter() - t0))
+    return best  # MiB/s of DRAM traffic
 
 
 def _dram_rate(n: int) -> float:
@@ -403,6 +465,33 @@ def _dram_rate(n: int) -> float:
 
     with mp.Pool(n, initializer=_pin_to, initargs=(n,)) as p:
         return sum(p.map(_dram_probe, range(n)))
+
+
+def _wait_for_grant(cores: int, best_seen: dict[int, float]) -> dict:
+    """Launch gate (see SCALING_GATE): block until the host's current
+    per-proc ALU grant at `cores` pinned procs recovers to within GATE of
+    the best grant seen for that core count this run, or the wait budget
+    expires (the child then launches anyway — the bracketing probes record
+    the degraded regime). Prevents a level's only sample landing in a
+    grant collapse like r05 run1's local[32] features window (0.96e8/proc
+    vs 3.51e8/proc hours earlier)."""
+    if SCALING_GATE <= 0:
+        return {"gated": False}
+    t0 = time.time()
+    while True:
+        rate = _alu_rate(cores) / cores
+        best = max(best_seen.get(cores, 0.0), rate)
+        best_seen[cores] = best
+        met = rate >= SCALING_GATE * best
+        if met or (time.time() - t0) > SCALING_GATE_WAIT:
+            return {
+                "gated": True,
+                "gate_perproc_rate": round(rate, 1),
+                "gate_best_perproc_rate": round(best, 1),
+                "gate_waited_sec": round(time.time() - t0, 1),
+                "gate_met": met,
+            }
+        time.sleep(45)
 
 
 def run_scaling(rounds: int | None = None) -> dict:
@@ -429,13 +518,22 @@ def run_scaling(rounds: int | None = None) -> dict:
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     samples_path = os.path.join(_REPO, "BENCH", "scaling_samples.jsonl")
     samples: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    # seed the launch gate's per-level reference grants (one quick probe
+    # each) so round-1 children are gate-protected too
+    best_seen: dict[int, float] = (
+        {c: _alu_rate(c) / c for c in (2, 8, 32)} if SCALING_GATE > 0 else {}
+    )
     for rnd in range(rounds):
         for c in (2, 8, 32):
+            gate_info = _wait_for_grant(c, best_seen)
             alu = _alu_rate(c)
             dram = _dram_rate(c)
+            if SCALING_GATE > 0:
+                best_seen[c] = max(best_seen.get(c, 0.0), alu / c)
             sample = _scaling_child(c, repeats=SCALING_REPEATS) | {
                 "alu_rate": alu,
                 "dram_rate": dram,
+                **gate_info,
             }
             samples[c].append(sample)
             with open(samples_path, "a") as f:
@@ -476,11 +574,21 @@ def run_scaling(rounds: int | None = None) -> dict:
         }
         for i in range(rounds)
     ]
-    # per-stage best-window times: min across rounds per (level, stage)
+    # per-stage best-window times: min across rounds per (level, stage);
+    # keep the whole winning sample so its boundary probes travel with it
     stage_names = list(samples[8][0].get("stages", {}))
-    stage_best = {
-        c: {s: min(r["stages"][s] for r in runs if "stages" in r) for s in stage_names}
+    stage_best_run = {
+        c: {
+            s: min(
+                (r for r in runs if "stages" in r), key=lambda r: r["stages"][s]
+            )
+            for s in stage_names
+        }
         for c, runs in samples.items()
+    }
+    stage_best = {
+        c: {s: stage_best_run[c][s]["stages"][s] for s in stage_names}
+        for c in stage_best_run
     }
     stage_eff = {
         s: round(stage_best[8][s] / (4 * stage_best[32][s]), 3)
@@ -488,6 +596,60 @@ def run_scaling(rounds: int | None = None) -> dict:
         else None
         for s in stage_names
     }
+    stage_eff_2to8 = {
+        s: round(stage_best[2][s] / (4 * stage_best[8][s]), 3)
+        if stage_best[8][s] > 0
+        else None
+        for s in stage_names
+    }
+
+    # --- contemporaneous per-stage ceilings ------------------------------
+    # each stage's efficiency is read against the host grant measured by
+    # the probes bracketing THAT stage's own window at both levels (the
+    # child emits "stage_probes": {start, features, candidates, ...}).
+    # matched resource per stage: features is the tiled numpy/Arrow kernel
+    # (compute-bound -> ALU); candidates/verify/exact_cc_winners are
+    # shuffle-dominated (-> DRAM, the single shared memory controller).
+    matched_resource = {
+        "features": "alu",
+        "candidates": "dram",
+        "verify": "dram",
+        "exact_cc_winners": "dram",
+    }
+    probe_order = ["start", *stage_names]
+
+    def _stage_grant(r: dict, s: str, kind: str) -> float | None:
+        pr = r.get("stage_probes") or {}
+        prev = probe_order[probe_order.index(s) - 1] if s in probe_order else "start"
+        vals = [p[kind] for p in (pr.get(prev), pr.get(s)) if p]
+        return sum(vals) / len(vals) if vals else None
+
+    def _contemporaneous(lo: int, hi: int) -> dict:
+        out = {}
+        for s in stage_names:
+            rl, rh = stage_best_run[lo][s], stage_best_run[hi][s]
+            eff = (
+                round(rl["stages"][s] / (4 * rh["stages"][s]), 3)
+                if rh["stages"][s] > 0
+                else None
+            )
+            row: dict = {"eff": eff}
+            for kind in ("alu", "dram"):
+                gl, gh = _stage_grant(rl, s, kind), _stage_grant(rh, s, kind)
+                row[f"{kind}_ceiling"] = (
+                    round(gh / (4 * gl), 3) if gl and gh else None
+                )
+            m = matched_resource.get(s, "alu")
+            mc = row.get(f"{m}_ceiling")
+            row["matched"] = m
+            row["met_matched_ceiling"] = (
+                eff is not None and mc is not None and eff >= mc
+            )
+            out[s] = row
+        return out
+
+    contemp_2to8 = _contemporaneous(2, 8)
+    contemp_8to32 = _contemporaneous(8, 32)
     # stage-pass-sum efficiency from each level's best window (min per
     # stage across rounds): the de-noised supplementary figure — additive
     # stage timings from one short instrumented pass per child
@@ -556,8 +718,17 @@ def run_scaling(rounds: int | None = None) -> dict:
         # scarcer probe resource in that window (see generated BASELINE.md)
         "binding_ceiling_upper_bound_8to32": round(binding_norm_8_32, 3),
         "per_stage_sec_best": stage_best,
+        "per_stage_efficiency_2to8": stage_eff_2to8,
         "per_stage_efficiency_8to32": stage_eff,
         "per_stage_efficiency_8to32_vs_dram_ceiling": stage_eff_vs_dram,
+        "per_stage_contemporaneous_2to8": contemp_2to8,
+        "per_stage_contemporaneous_8to32": contemp_8to32,
+        "all_stages_met_matched_ceiling_2to8": all(
+            v["met_matched_ceiling"] for v in contemp_2to8.values()
+        ),
+        "all_stages_met_matched_ceiling_8to32": all(
+            v["met_matched_ceiling"] for v in contemp_8to32.values()
+        ),
         "cpu_pinned": bool(results[8].get("pinned")),
         "target": 0.8,
     }
@@ -593,6 +764,19 @@ def run_scaling(rounds: int | None = None) -> dict:
         f"| {s} | {stage_best[2][s]} | {stage_best[8][s]} | {stage_best[32][s]} | "
         f"{stage_eff[s] if stage_eff[s] is not None else '?'} | "
         f"{stage_eff_vs_dram[s] if stage_eff_vs_dram[s] is not None else '?'} |"
+        for s in stage_names
+    )
+    def _fmt(v):
+        return v if v is not None else "?"
+
+    contemp_rows = "\n".join(
+        f"| {s} | {contemp_2to8[s]['matched'].upper()} | "
+        f"{_fmt(contemp_2to8[s]['eff'])} | "
+        f"{_fmt(contemp_2to8[s][contemp_2to8[s]['matched'] + '_ceiling'])} | "
+        f"{'YES' if contemp_2to8[s]['met_matched_ceiling'] else 'no'} | "
+        f"{_fmt(contemp_8to32[s]['eff'])} | "
+        f"{_fmt(contemp_8to32[s][contemp_8to32[s]['matched'] + '_ceiling'])} | "
+        f"{'YES' if contemp_8to32[s]['met_matched_ceiling'] else 'no'} |"
         for s in stage_names
     )
     min_ceiling = min((r["ceiling_8_32"] for r in per_round), default=0.0)
@@ -699,6 +883,26 @@ saturated controller the probe measures:
 |---|---|---|---|---|---|
 {stage_rows}
 
+Per-stage efficiency vs the CONTEMPORANEOUS matched ceiling: every stage
+boundary in the instrumented pass is bracketed by a 2s ALU + 2s DRAM probe
+run inside the child under the same CPU mask, so each stage's ratio is read
+against the grant the host was giving DURING that stage's own windows at
+both levels (not a probe minutes away). Matched resource: features = ALU
+(the tiled numpy/Arrow kernel is compute-bound); candidates / verify /
+exact_cc_winners = DRAM (shuffle-dominated, bound by the single shared
+memory controller). "met" = raw stage efficiency >= that stage's matched
+contemporaneous ceiling, i.e. the stage converted at least the fraction of
+linear that a program bound by its matched resource could have achieved in
+those windows:
+
+| stage | matched | eff(2→8) | ceiling(2→8) | met | eff(8→32) | ceiling(8→32) | met |
+|---|---|---|---|---|---|---|---|
+{contemp_rows}
+
+All stages met their matched contemporaneous ceiling:
+**2→8 = {"YES" if all(v["met_matched_ceiling"] for v in contemp_2to8.values()) else "no"},
+8→32 = {"YES" if all(v["met_matched_ceiling"] for v in contemp_8to32.values()) else "no"}.**
+
 Cluster counts across all levels match (same input, deterministic
 pipeline): {"MATCH" if clusters_match else "MISMATCH"}.
 
@@ -727,6 +931,13 @@ Two control experiments bracket every job run:
   = {dram_ceiling["8to32"]} of linear: the single shared memory controller
   is saturated well before 32 threads. This is the matched-pressure ceiling
   for shuffle- and Arrow-batch-bound stages.
+
+Launch gate: {"each child's launch waited (up to " + str(int(SCALING_GATE_WAIT)) + "s)"
+" until a quick pinned ALU probe at its core count read >= " + str(SCALING_GATE) +
+" of the best per-proc grant seen for that core count this run, so no"
+" level's sample lands in a grant collapse; gate telemetry is recorded"
+" per sample in scaling_samples.jsonl." if SCALING_GATE > 0 else
+"disabled (SCALING_GATE=0)."}
 
 ## Reading the result (derived from this run's measurements)
 
