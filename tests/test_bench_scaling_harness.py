@@ -65,6 +65,116 @@ def test_child_unpinned_when_disabled(monkeypatch):
     assert res["pinned"] is False
 
 
+def test_parse_repeats_single_and_per_level():
+    assert bench._parse_repeats("3") == {2: 3, 8: 3, 32: 3}
+    assert bench._parse_repeats("1,2,3") == {2: 1, 8: 2, 32: 3}
+    with pytest.raises(ValueError):
+        bench._parse_repeats("1,2")
+
+
+def test_prior_samples_filters_unpinned_and_garbage(tmp_path):
+    p = tmp_path / "samples.jsonl"
+    p.write_text(
+        '{"cores": 2, "pinned": true, "sec": 9.0}\n'
+        '{"cores": 8, "pinned": false, "sec": 1.0}\n'  # unpinned: excluded
+        "not json at all\n"  # corrupt line: skipped
+        '{"pinned": true, "sec": 1.0}\n'  # no cores: excluded
+        '{"cores": 32, "pinned": true, "sec": 2.0}\n'
+    )
+    out = bench._prior_samples(str(p))
+    assert [d["cores"] for d in out] == [2, 32]
+    assert bench._prior_samples(str(tmp_path / "missing.jsonl")) == []
+
+
+def test_seed_gate_refs_takes_best_grant_per_level():
+    """The gate reference must be the best per-proc grant from ANY recorded
+    source — bracketing probe, gate telemetry, or stage-boundary probes —
+    so a run whose every window at one level is degraded cannot gate
+    itself against its own collapse (observed in r05 run2 at local[32])."""
+    prior = [
+        {"cores": 8, "pinned": True, "alu_rate": 8e8},  # 1e8/proc
+        {
+            "cores": 8,
+            "pinned": True,
+            "alu_rate": 4e8,  # 0.5e8/proc
+            "gate_best_perproc_rate": 1.5e8,
+            "stage_probes": {"start": {"alu": 24e8}, "verify": {"alu": 8e8}},
+        },  # stage probe start: 3e8/proc — the best evidence
+        {"cores": 2, "pinned": True, "alu_rate": 7e8},  # 3.5e8/proc
+    ]
+    refs = bench._seed_gate_refs(prior)
+    assert refs[8] == pytest.approx(3e8)
+    assert refs[2] == pytest.approx(3.5e8)
+    assert 32 not in refs
+
+
+def test_run_scaling_report_renders_with_fake_children(tmp_path, monkeypatch):
+    """End-to-end smoke of run_scaling with stubbed children and probes:
+    the markdown template renders only AFTER hours of measurement, so a
+    rendering bug must be catchable without a real run. Also pins the
+    cross-run merge: a prior pinned+probed sample at the same corpus
+    joins the best-window pool; a faster prior window wins the headline."""
+    import json as _json
+
+    (tmp_path / "BENCH").mkdir()
+    probes = {
+        k: {"alu": 1e9, "dram": 3e4}
+        for k in ("start", "features", "candidates", "verify", "exact_cc_winners")
+    }
+    stages = {"features": 4.0, "candidates": 1.0, "verify": 2.0, "exact_cc_winners": 1.0}
+    prior = {
+        "cores": 8,
+        "pinned": True,
+        "sec": 7.0,  # faster than the fresh local[8] window below
+        "docs": 100,
+        "docs_per_sec": 100 / 7.0,
+        "clusters": 60,
+        "alu_rate": 8e8,
+        "dram_rate": 2e4,
+        "stages": dict(stages),
+        "stage_probes": probes,
+    }
+    with open(tmp_path / "BENCH" / "scaling_samples.jsonl", "w") as f:
+        f.write(_json.dumps(prior) + "\n")
+
+    def fake_child(cores, repeats=1, warmup=1):
+        return {
+            "cores": cores,
+            "sec": 80.0 / cores,
+            "docs": 100,
+            "docs_per_sec": 100 / (80.0 / cores),
+            "clusters": 60,
+            "repeats": repeats,
+            "warmup_reps": warmup,
+            "warmup_docs": 10,
+            "stages": {s: v * 8 / cores for s, v in stages.items()},
+            "stage_probes": probes,
+            "pinned": True,
+        }
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "_ensure_bench_corpus", lambda n=None: "unused")
+    monkeypatch.setattr(bench, "_scaling_child", fake_child)
+    monkeypatch.setattr(bench, "_alu_rate", lambda n: n * 1e8)
+    monkeypatch.setattr(bench, "_dram_rate", lambda n: n * 1e4)
+    monkeypatch.setattr(bench, "SCALING_GATE", 0.85)
+    monkeypatch.setattr(bench, "SCALING_GATE_WAIT", 0.0)
+    monkeypatch.setattr(bench, "SCALING_MERGE_SAMPLES", True)
+    report = bench.run_scaling(rounds=1)
+    # fresh local[8] window is 10.0s; the prior probed sample's 7.0s wins
+    assert report["local8"]["sec"] == 7.0
+    assert report["merged_prior_samples"] == 1
+    assert report["best_window_pool_per_level"] == {2: 1, 8: 2, 32: 1}
+    # raw JSON and markdown both landed
+    assert (tmp_path / "BENCH" / "scaling_last_run.json").exists()
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Best-window pool per level" in md
+    assert "1 prior pinned, stage-probed sample(s)" in md
+    # contemporaneous table rendered for every stage
+    for s in stages:
+        assert f"| {s} |" in md
+
+
 @pytest.mark.skipif(
     not hasattr(os, "sched_getaffinity"), reason="no sched affinity API"
 )
