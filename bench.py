@@ -113,17 +113,62 @@ BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
 DATA_DIR = os.path.join(_REPO, "BENCH", "data")
 
 
-def _ensure_bench_corpus(n_base_docs: int | None = None) -> str:
-    """Deterministic synthetic webtext corpus, cached as parquet."""
-    n = n_base_docs or BENCH_CORPUS_DOCS
-    path = os.path.join(DATA_DIR, f"webtext_{n}.parquet")
-    if not os.path.exists(path):
-        os.makedirs(DATA_DIR, exist_ok=True)
-        from product_deduplication_spark.datagen import generate_web_documents
+def _corpus_file_count(n_base_docs: int) -> int:
+    """Files in the multi-file corpus layout: ~1 file per 2k base docs,
+    capped at 32 (the scaling harness's max core count)."""
+    return max(1, min(32, n_base_docs // 2000))
 
-        docs, _ = generate_web_documents(n_base_docs=n, seed=42)
-        # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros
-        docs.to_parquet(path, index=False, coerce_timestamps="us")
+
+def _ensure_bench_corpus(n_base_docs: int | None = None) -> str:
+    """Deterministic synthetic webtext corpus, cached as a DIRECTORY of
+    parquet files with bounded row groups.
+
+    Layout matters for the scaling measurement: the original single-file
+    cache held ALL rows in ONE parquet row group (pandas.to_parquet
+    default), and a row group is the minimum unit a Spark scan can assign
+    to a task — so every corpus scan (features, exact-dup edges, CC doc
+    list) decoded ~2.8 GB uncompressed on ONE core at every parallelism
+    level: a serial Amdahl fraction that suppressed measured 2→8/8→32
+    scaling (features eff 2→8 bottomed at 0.305 with the stage's OWN alu
+    ceiling at 0.43; exact_cc_winners at 0.321). A production Iceberg
+    table is many ~100 MB files; this layout mirrors that, so the scan
+    parallelizes the way it would on a real cluster."""
+    n = n_base_docs or BENCH_CORPUS_DOCS
+    k = _corpus_file_count(n)
+    path = os.path.join(DATA_DIR, f"webtext_{n}_f{k}")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(DATA_DIR, exist_ok=True)
+        legacy = os.path.join(DATA_DIR, f"webtext_{n}.parquet")
+        if os.path.exists(legacy):
+            # same rows, new layout — convert instead of regenerating
+            table = pq.read_table(legacy)
+        else:
+            from product_deduplication_spark.datagen import generate_web_documents
+
+            docs, _ = generate_web_documents(n_base_docs=n, seed=42)
+            table = pa.Table.from_pandas(docs, preserve_index=False)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        rows = table.num_rows
+        per_file = -(-rows // k)
+        for i in range(k):
+            chunk = table.slice(i * per_file, per_file)
+            if chunk.num_rows == 0:
+                continue
+            # Spark cannot read TIMESTAMP(NANOS) parquet — coerce to micros
+            pq.write_table(
+                chunk,
+                os.path.join(tmp, f"part-{i:05d}.parquet"),
+                row_group_size=8192,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+        os.rename(tmp, path)
     return path
 
 
@@ -331,8 +376,13 @@ from product_deduplication_spark.operators.verify import verify_pairs
 from product_deduplication_spark.operators.exact_dedup import exact_duplicate_edges
 from product_deduplication_spark.operators.connected_components import assign_clusters_contracted
 from pyspark.sql import functions as F
+# 32 MiB split size: the corpus is 32 x ~32 MB files (_ensure_bench_corpus);
+# the default 128 MiB bin-packs them into ~11 scan tasks, capping scan AND
+# feature-kernel parallelism below the core count at local[32]. 32 MiB means
+# one file per task — the cluster analog of one Iceberg data file per split.
 spark = get_spark(app_name="bench-scaling", master="local[{cores}]",
-                  shuffle_partitions={sp})
+                  shuffle_partitions={sp},
+                  extra_conf={{"spark.sql.files.maxPartitionBytes": "33554432"}})
 spark.range(1000).selectExpr("sum(id)").collect()
 web = spark.read.parquet(bench._ensure_bench_corpus({SCALING_CORPUS_DOCS}))
 n = web.count()
@@ -581,6 +631,7 @@ def run_scaling(rounds: int | None = None) -> dict:
     if rounds is None:
         rounds = SCALING_ROUNDS
     _ensure_bench_corpus(SCALING_CORPUS_DOCS)
+    corpus_files = _corpus_file_count(SCALING_CORPUS_DOCS)
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     samples_path = os.path.join(_REPO, "BENCH", "scaling_samples.jsonl")
     samples: dict[int, list[dict]] = {2: [], 8: [], 32: []}
@@ -606,6 +657,7 @@ def run_scaling(rounds: int | None = None) -> dict:
             sample = _scaling_child(c, repeats=SCALING_REPEATS[c]) | {
                 "alu_rate": alu,
                 "dram_rate": dram,
+                "corpus_files": corpus_files,
                 **gate_info,
             }
             samples[c].append(sample)
@@ -615,11 +667,17 @@ def run_scaling(rounds: int | None = None) -> dict:
     # prior pinned, stage-probed sample at the SAME corpus size — the
     # interleaved-rounds de-noising idea extended across runs
     docs_n = samples[2][0]["docs"]
+    # pool only samples measured on the SAME physical input: docs count AND
+    # file layout (corpus_files) — pre-multi-file samples read a one-row-group
+    # file whose scans were serial, a different job physically
     merged_prior = (
         [
             d
             for d in prior
-            if d.get("docs") == docs_n and d.get("stage_probes") and d.get("stages")
+            if d.get("docs") == docs_n
+            and d.get("corpus_files") == corpus_files
+            and d.get("stage_probes")
+            and d.get("stages")
         ]
         if SCALING_MERGE_SAMPLES
         else []
