@@ -122,6 +122,7 @@ def test_run_scaling_report_renders_with_fake_children(tmp_path, monkeypatch):
         for k in ("start", "features", "candidates", "verify", "exact_cc_winners")
     }
     stages = {"features": 4.0, "candidates": 1.0, "verify": 2.0, "exact_cc_winners": 1.0}
+    corpus_files = bench._corpus_file_count(bench.SCALING_CORPUS_DOCS)
     prior = {
         "cores": 8,
         "pinned": True,
@@ -133,9 +134,16 @@ def test_run_scaling_report_renders_with_fake_children(tmp_path, monkeypatch):
         "dram_rate": 2e4,
         "stages": dict(stages),
         "stage_probes": probes,
+        "corpus_files": corpus_files,
     }
+    # a sample from the pre-multi-file corpus layout (no corpus_files key):
+    # physically a different job (serial one-row-group scans), must NOT join
+    # the pool even though it is pinned + probed and would win on sec
+    stale = dict(prior, sec=1.0, docs_per_sec=100.0)
+    stale.pop("corpus_files")
     with open(tmp_path / "BENCH" / "scaling_samples.jsonl", "w") as f:
         f.write(_json.dumps(prior) + "\n")
+        f.write(_json.dumps(stale) + "\n")
 
     def fake_child(cores, repeats=1, warmup=1):
         return {
