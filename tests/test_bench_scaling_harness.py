@@ -197,3 +197,127 @@ def test_probe_initializer_matches_child_mask(monkeypatch):
         assert os.sched_getaffinity(0) == {0, 1}
     finally:
         os.sched_setaffinity(0, before)
+
+
+def test_parse_levels_subset_and_empty():
+    assert bench._parse_levels("2,8,32") == (2, 8, 32)
+    assert bench._parse_levels("8") == (8,)
+    assert bench._parse_levels("") == ()
+    with pytest.raises(ValueError):
+        bench._parse_levels("2,16")
+
+
+def _seed_pool(tmp_path, corpus_files):
+    """A pool with one pinned+probed sample per level at the current
+    corpus layout (grants scale per-proc so windows are 'matched')."""
+    import json as _json
+
+    (tmp_path / "BENCH").mkdir()
+    stages = {
+        "features": 4.0,
+        "candidates": 1.0,
+        "verify": 2.0,
+        "exact_cc_winners": 1.0,
+    }
+    with open(tmp_path / "BENCH" / "scaling_samples.jsonl", "w") as f:
+        for cores, sec in ((2, 40.0), (8, 12.5), (32, 8.0)):
+            probes = {
+                k: {"alu": cores * 1e8, "dram": cores * 1e4}
+                for k in ("start", *stages)
+            }
+            f.write(
+                _json.dumps(
+                    {
+                        "cores": cores,
+                        "pinned": True,
+                        "sec": sec,
+                        "docs": 100,
+                        "docs_per_sec": 100 / sec,
+                        "clusters": 60,
+                        "alu_rate": cores * 1e8,
+                        "dram_rate": cores * 1e4,
+                        "stages": {s: v * 2 / cores for s, v in stages.items()},
+                        "stage_probes": probes,
+                        "corpus_files": corpus_files,
+                    }
+                )
+                + "\n"
+            )
+    return stages
+
+
+def test_run_scaling_single_level_draws_rest_from_pool(tmp_path, monkeypatch):
+    """SCALING_LEVELS=8 must launch only the local[8] child and fill the
+    other levels' best windows from the cross-run pool, so a
+    budget-constrained run can spend every window on the gate's numerator."""
+    corpus_files = bench._corpus_file_count(bench.SCALING_CORPUS_DOCS)
+    stages = _seed_pool(tmp_path, corpus_files)
+    launched = []
+
+    def fake_child(cores, repeats=1, warmup=1):
+        launched.append(cores)
+        probes = {
+            k: {"alu": cores * 1e8, "dram": cores * 1e4}
+            for k in ("start", *stages)
+        }
+        return {
+            "cores": cores,
+            "sec": 10.0,
+            "docs": 100,
+            "docs_per_sec": 10.0,
+            "clusters": 60,
+            "repeats": repeats,
+            "warmup_reps": warmup,
+            "warmup_docs": 10,
+            "stages": {s: v * 2 / cores for s, v in stages.items()},
+            "stage_probes": probes,
+            "pinned": True,
+        }
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "_ensure_bench_corpus", lambda n=None: "unused")
+    monkeypatch.setattr(bench, "_scaling_child", fake_child)
+    monkeypatch.setattr(bench, "_alu_rate", lambda n: n * 1e8)
+    monkeypatch.setattr(bench, "_dram_rate", lambda n: n * 1e4)
+    monkeypatch.setattr(bench, "SCALING_GATE", 0.85)
+    monkeypatch.setattr(bench, "SCALING_GATE_WAIT", 0.0)
+    monkeypatch.setattr(bench, "SCALING_MERGE_SAMPLES", True)
+    monkeypatch.setattr(bench, "SCALING_LEVELS", (8,))
+    report = bench.run_scaling(rounds=1)
+    assert launched == [8]
+    # local[2]/local[32] headline rows came from the pool
+    assert report["local2"]["sec"] == 40.0
+    assert report["local32"]["sec"] == 8.0
+    # local[8] pools this run's 10.0s window with the prior 12.5s; min wins
+    assert report["local8"]["sec"] == 10.0
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "pair not sampled this invocation" in md
+
+
+def test_run_scaling_report_only_from_pool(tmp_path, monkeypatch):
+    """SCALING_LEVELS='' regenerates BASELINE.md purely from the pool,
+    launching no children, and reports the matched-window figure."""
+    corpus_files = bench._corpus_file_count(bench.SCALING_CORPUS_DOCS)
+    _seed_pool(tmp_path, corpus_files)
+
+    def boom(*a, **kw):
+        raise AssertionError("report-only run must not launch children")
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "_ensure_bench_corpus", lambda n=None: "unused")
+    monkeypatch.setattr(bench, "_scaling_child", boom)
+    monkeypatch.setattr(bench, "_alu_rate", lambda n: n * 1e8)
+    monkeypatch.setattr(bench, "_dram_rate", lambda n: n * 1e4)
+    monkeypatch.setattr(bench, "SCALING_GATE", 0.85)
+    monkeypatch.setattr(bench, "SCALING_MERGE_SAMPLES", True)
+    monkeypatch.setattr(bench, "SCALING_LEVELS", ())
+    report = bench.run_scaling(rounds=1)
+    assert report["best_window_pool_per_level"] == {2: 1, 8: 1, 32: 1}
+    # matched-window pairs: pool grants are per-proc-equal by construction
+    m = report["matched_window_eff_2to8"]
+    assert m is not None
+    # eff = (100/12.5) / (4 * (100/40)) = 0.8
+    assert m["eff"] == 0.8
+    assert m["grant_match"] == 1.0
+    md = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "Matched-window pairs (supplementary)" in md
