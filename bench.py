@@ -881,7 +881,14 @@ def run_scaling(rounds: int | None = None) -> dict:
         vals = [v for v in vals if v > 0]
         return (sum(vals) / len(vals) / r["cores"]) if vals else None
 
-    def _matched_pair(lo: int, hi: int, tol: float = 0.85) -> dict | None:
+    def _matched_pair(
+        lo: int, hi: int, tol: float = 0.85, by: str = "eff"
+    ) -> dict | None:
+        """Best pooled window pair whose per-proc ALU grants agree within
+        tol. by="eff" maximizes raw efficiency (the most favorable fair
+        pair); by="grant" maximizes grant agreement (the pair closest to a
+        real cluster's equal-per-core-grant condition, regardless of
+        whether its efficiency flatters)."""
         best = None
         for rl in merged[lo]:
             gl = _window_grant(rl)
@@ -892,10 +899,13 @@ def run_scaling(rounds: int | None = None) -> dict:
                 if not gh or min(gl, gh) / max(gl, gh) < tol:
                     continue
                 eff = rh["docs_per_sec"] / (4 * rl["docs_per_sec"])
-                if best is None or eff > best["eff"]:
+                match = min(gl, gh) / max(gl, gh)
+                key = eff if by == "eff" else match
+                if best is None or key > best["_key"]:
                     best = {
+                        "_key": key,
                         "eff": round(eff, 3),
-                        "grant_match": round(min(gl, gh) / max(gl, gh), 3),
+                        "grant_match": round(match, 3),
                         "lo_perproc_grant": round(gl),
                         "hi_perproc_grant": round(gh),
                         "lo_sec": rl["sec"],
@@ -903,10 +913,46 @@ def run_scaling(rounds: int | None = None) -> dict:
                         "lo_ts": rl.get("ts"),
                         "hi_ts": rh.get("ts"),
                     }
+        if best is not None:
+            del best["_key"]
         return best
 
     matched_2_8 = _matched_pair(2, 8)
     matched_8_32 = _matched_pair(8, 32)
+    tightest_2_8 = _matched_pair(2, 8, by="grant")
+    tightest_8_32 = _matched_pair(8, 32, by="grant")
+
+    def _matched_dist(lo: int, hi: int, tol: float = 0.85) -> dict | None:
+        """Efficiency distribution over ALL grant-matched pooled pairs —
+        quoting any single pair (max-eff or max-agreement) is selection;
+        the median over every fair pairing is the robust summary."""
+        effs = []
+        for rl in merged[lo]:
+            gl = _window_grant(rl)
+            if not gl:
+                continue
+            for rh in merged[hi]:
+                gh = _window_grant(rh)
+                if gh and min(gl, gh) / max(gl, gh) >= tol:
+                    effs.append(rh["docs_per_sec"] / (4 * rl["docs_per_sec"]))
+        if not effs:
+            return None
+        effs.sort()
+        n = len(effs)
+        med = (
+            effs[n // 2]
+            if n % 2
+            else (effs[n // 2 - 1] + effs[n // 2]) / 2
+        )
+        return {
+            "n_pairs": n,
+            "min_eff": round(effs[0], 3),
+            "median_eff": round(med, 3),
+            "max_eff": round(effs[-1], 3),
+        }
+
+    matched_dist_2_8 = _matched_dist(2, 8)
+    matched_dist_8_32 = _matched_dist(8, 32)
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     ceiling = {
@@ -974,6 +1020,13 @@ def run_scaling(rounds: int | None = None) -> dict:
         # per-proc ALU grants agree within 15% (the cluster-analog pairing)
         "matched_window_eff_2to8": matched_2_8,
         "matched_window_eff_8to32": matched_8_32,
+        # tightest grant agreement rather than max efficiency — closest to
+        # a real cluster's equal-per-core-grant condition
+        "tightest_grant_pair_2to8": tightest_2_8,
+        "tightest_grant_pair_8to32": tightest_8_32,
+        # selection-free summary over every grant-matched pairing
+        "matched_pair_distribution_2to8": matched_dist_2_8,
+        "matched_pair_distribution_8to32": matched_dist_8_32,
         "ceiling_normalized_efficiency_8to32": round(norm_8_32, 3),
         # upper bound, not a headline: assumes the job is bound by the
         # scarcer probe resource in that window (see generated BASELINE.md)
@@ -1080,6 +1133,17 @@ def run_scaling(rounds: int | None = None) -> dict:
             f"(grant agreement {m['grant_match']})."
         )
 
+    def _dist_text(label: str, d: dict | None) -> str:
+        if d is None:
+            return (
+                f"- {label}: no pooled window pair with per-proc grants "
+                "within 15% yet."
+            )
+        return (
+            f"- {label}: n={d['n_pairs']} pairs, eff min/median/max = "
+            f"{d['min_eff']} / **{d['median_eff']}** / {d['max_eff']}."
+        )
+
     matched_section = f"""Matched-window pairs (supplementary): the pooled
 headline above compares each level's BEST window, but the host grant
 drifts 3.7x between windows, so that ratio can pit a golden small-level
@@ -1090,6 +1154,20 @@ the pooled window pair whose measured per-proc ALU grants agree within
 
 {_matched_text("2→8", matched_2_8)}
 {_matched_text("8→32", matched_8_32)}
+
+Tightest-grant pair per transition (max grant agreement rather than max
+efficiency — the pair closest to a real cluster's equal-per-core-grant
+condition, quoted whether or not it flatters):
+
+{_matched_text("2→8", tightest_2_8)}
+{_matched_text("8→32", tightest_8_32)}
+
+Distribution over ALL grant-matched pairs (selection-free summary —
+equal-grant windows still differ by non-grant noise the probes can't see,
+so the median over every fair pairing is the robust figure):
+
+{_dist_text("2→8", matched_dist_2_8)}
+{_dist_text("8→32", matched_dist_8_32)}
 """
     gate_2_8_reading = (
         f"**N→4N gate: 2→8 raw = {eff_2_8:.3f} — "
