@@ -873,41 +873,54 @@ def run_scaling(rounds: int | None = None) -> dict:
     # the pair of pooled windows whose measured per-proc ALU grants agree
     # within 15% is the closest sandbox analog of the cluster experiment.
     # Reported as a clearly-labeled supplementary figure, never the headline.
-    def _window_grant(r: dict) -> float | None:
-        """Mean per-proc ALU grant across a sample's own probe windows."""
-        vals = [r.get("alu_rate") or 0.0] + [
-            p.get("alu", 0.0) for p in (r.get("stage_probes") or {}).values()
+    def _window_grant(r: dict, key: str = "alu") -> float | None:
+        """Mean per-proc grant (ALU or DRAM) across a sample's own probe
+        windows."""
+        vals = [r.get(f"{key}_rate") or 0.0] + [
+            p.get(key, 0.0) for p in (r.get("stage_probes") or {}).values()
         ]
         vals = [v for v in vals if v > 0]
         return (sum(vals) / len(vals) / r["cores"]) if vals else None
 
+    def _joint_match(rl: dict, rh: dict) -> float | None:
+        """Grant agreement of a window pair on BOTH probed resources — a
+        real N-vs-4N cluster holds per-core compute AND per-node bandwidth
+        equal, so a pair is only 'equal-grant' if the host granted both
+        within tolerance. ALU-only matching mislabels bandwidth-starved
+        large-N windows as fair (the shared controller never grants 32
+        procs the 8-proc per-proc bandwidth)."""
+        ms = []
+        for key in ("alu", "dram"):
+            gl, gh = _window_grant(rl, key), _window_grant(rh, key)
+            if not gl or not gh:
+                return None
+            ms.append(min(gl, gh) / max(gl, gh))
+        return min(ms)
+
     def _matched_pair(
         lo: int, hi: int, tol: float = 0.85, by: str = "eff"
     ) -> dict | None:
-        """Best pooled window pair whose per-proc ALU grants agree within
-        tol. by="eff" maximizes raw efficiency (the most favorable fair
-        pair); by="grant" maximizes grant agreement (the pair closest to a
-        real cluster's equal-per-core-grant condition, regardless of
-        whether its efficiency flatters)."""
+        """Best pooled window pair whose per-proc grants agree within tol
+        on BOTH probed resources (see _joint_match). by="eff" maximizes
+        raw efficiency (the most favorable fair pair); by="grant"
+        maximizes grant agreement (the pair closest to a real cluster's
+        equal-per-core-grant condition, regardless of whether its
+        efficiency flatters)."""
         best = None
         for rl in merged[lo]:
-            gl = _window_grant(rl)
-            if not gl:
-                continue
             for rh in merged[hi]:
-                gh = _window_grant(rh)
-                if not gh or min(gl, gh) / max(gl, gh) < tol:
+                match = _joint_match(rl, rh)
+                if match is None or match < tol:
                     continue
                 eff = rh["docs_per_sec"] / (4 * rl["docs_per_sec"])
-                match = min(gl, gh) / max(gl, gh)
                 key = eff if by == "eff" else match
                 if best is None or key > best["_key"]:
                     best = {
                         "_key": key,
                         "eff": round(eff, 3),
                         "grant_match": round(match, 3),
-                        "lo_perproc_grant": round(gl),
-                        "hi_perproc_grant": round(gh),
+                        "lo_perproc_grant": round(_window_grant(rl)),
+                        "hi_perproc_grant": round(_window_grant(rh)),
                         "lo_sec": rl["sec"],
                         "hi_sec": rh["sec"],
                         "lo_ts": rl.get("ts"),
@@ -928,12 +941,9 @@ def run_scaling(rounds: int | None = None) -> dict:
         the median over every fair pairing is the robust summary."""
         effs = []
         for rl in merged[lo]:
-            gl = _window_grant(rl)
-            if not gl:
-                continue
             for rh in merged[hi]:
-                gh = _window_grant(rh)
-                if gh and min(gl, gh) / max(gl, gh) >= tol:
+                match = _joint_match(rl, rh)
+                if match is not None and match >= tol:
                     effs.append(rh["docs_per_sec"] / (4 * rl["docs_per_sec"]))
         if not effs:
             return None
@@ -1119,18 +1129,36 @@ def run_scaling(rounds: int | None = None) -> dict:
         "in this run's best window, so the raw number is directly "
         "comparable to the 0.8 target in that window."
     )
-    def _matched_text(label: str, m: dict | None) -> str:
+    def _best_joint(lo: int, hi: int) -> float | None:
+        vals = [
+            _joint_match(rl, rh)
+            for rl in merged[lo]
+            for rh in merged[hi]
+        ]
+        vals = [v for v in vals if v is not None]
+        return round(max(vals), 3) if vals else None
+
+    def _matched_text(label: str, m: dict | None, lo: int, hi: int) -> str:
         if m is None:
+            bj = _best_joint(lo, hi)
             return (
-                f"- {label}: no pooled window pair with per-proc grants "
-                "within 15% yet."
+                f"- {label}: no pooled window pair with BOTH per-proc "
+                "grants (compute and bandwidth) within 15% yet"
+                + (
+                    f" — best joint agreement observed {bj}: the host "
+                    "physically never grants the high level the low "
+                    "level's per-proc resources, so no fair pairing "
+                    "exists to measure."
+                    if bj is not None
+                    else "."
+                )
             )
         return (
             f"- {label}: **{m['eff']}** raw — lo window "
             f"{m['lo_sec']}s at {m['lo_perproc_grant'] / 1e6:.0f}e6 "
             f"ALU/proc vs hi window {m['hi_sec']}s at "
             f"{m['hi_perproc_grant'] / 1e6:.0f}e6 ALU/proc "
-            f"(grant agreement {m['grant_match']})."
+            f"(joint ALU+DRAM grant agreement {m['grant_match']})."
         )
 
     def _dist_text(label: str, d: dict | None) -> str:
@@ -1149,18 +1177,18 @@ headline above compares each level's BEST window, but the host grant
 drifts 3.7x between windows, so that ratio can pit a golden small-level
 window against a throttled large-level one. A real N-vs-4N cluster run
 holds per-core grant equal by construction; the closest sandbox analog is
-the pooled window pair whose measured per-proc ALU grants agree within
-15%. Best raw efficiency among such pairs:
+the pooled window pair whose measured per-proc grants agree within 15%
+on BOTH probed resources (compute/ALU and memory-bandwidth/DRAM). Best raw efficiency among such pairs:
 
-{_matched_text("2→8", matched_2_8)}
-{_matched_text("8→32", matched_8_32)}
+{_matched_text("2→8", matched_2_8, 2, 8)}
+{_matched_text("8→32", matched_8_32, 8, 32)}
 
 Tightest-grant pair per transition (max grant agreement rather than max
 efficiency — the pair closest to a real cluster's equal-per-core-grant
 condition, quoted whether or not it flatters):
 
-{_matched_text("2→8", tightest_2_8)}
-{_matched_text("8→32", tightest_8_32)}
+{_matched_text("2→8", tightest_2_8, 2, 8)}
+{_matched_text("8→32", tightest_8_32, 8, 32)}
 
 Distribution over ALL grant-matched pairs (selection-free summary —
 equal-grant windows still differ by non-grant noise the probes can't see,
