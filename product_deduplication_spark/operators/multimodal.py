@@ -7,9 +7,17 @@ Training-data-pipeline ops over binary payload columns. Decode backends:
   exist in this container): chunk parse → inflate → per-scanline unfilter
   (all five filter types) → pixel array → mean-pooled grayscale feature,
   ``feature_kind="png-stdlib"``.
+- ``WavDecodeBackend`` — a REAL audio decoder for RIFF/WAVE PCM payloads
+  built on stdlib ``wave`` (8/16/24/32-bit widths, any channel count
+  downmixed to mono) → RMS loudness envelope pooled to ``dim`` windows,
+  ``feature_kind="wav-stdlib"``.
+- ``MediaCodecBackend`` — routes each payload by magic bytes to the PNG or
+  WAV kernel; anything else stubs (or raises in strict mode). The shape a
+  production backend takes when PIL/pyav land: add a codec, keep the row
+  contract.
 - ``DecodeBackend`` (base) — for codecs that genuinely need external
-  libraries (JPEG/audio/video): raises ``NotImplementedError`` in strict
-  mode, or produces a deterministic sha-seeded fake labeled
+  libraries (JPEG/compressed audio/video): raises ``NotImplementedError``
+  in strict mode, or produces a deterministic sha-seeded fake labeled
   ``feature_kind="stub"`` so it can never be mistaken for a real embedding.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
@@ -101,11 +109,7 @@ class DecodeBackend:
                 "in this environment; run with strict=False for the "
                 "deterministic stub"
             )
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "big")
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(self.dim).astype(np.float32)
-        return v / np.linalg.norm(v)
+        return _stub_feature(payload, self.dim)
 
     def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
         """(feature, provenance) — backends that handle several payload
@@ -113,6 +117,16 @@ class DecodeBackend:
         labeled by how it was actually decoded."""
         v = self.decode_features(payload)
         return v, (None if v is None else self.feature_kind)
+
+
+def _stub_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic sha-seeded unit-norm fake — the labeled fallback for
+    payloads no real kernel decodes (see DecodeBackend docstring)."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -257,11 +271,125 @@ class PngDecodeBackend(DecodeBackend):
                 "non-PNG media payload in strict mode: JPEG/audio/video decode "
                 "requires codec libraries not present in this environment"
             )
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "big")
-        rng = np.random.default_rng(seed)
-        v = rng.standard_normal(self.dim).astype(np.float32)
-        return v / np.linalg.norm(v), "stub"
+        return _stub_feature(payload, self.dim), "stub"
+
+    def decode_features(self, payload: bytes | None) -> np.ndarray | None:
+        return self.decode_with_kind(payload)[0]
+
+
+def _is_wav(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload to (mono float64 samples in [-1, 1],
+    frame rate) using only the stdlib ``wave`` module for container parsing;
+    sample-width conversion (unsigned 8-bit, signed little-endian 16/24/32)
+    and channel downmix are implemented here. Raises ValueError on non-WAV
+    payloads, compressed WAVE (``wave`` itself rejects non-PCM), or widths
+    outside 1-4 bytes — the caller decides strict failure vs stub fallback.
+    """
+    import io
+    import wave as _wave
+
+    if not _is_wav(data):
+        raise ValueError("not a RIFF/WAVE payload")
+    try:
+        with _wave.open(io.BytesIO(data)) as w:
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            fr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except _wave.Error as e:
+        raise ValueError(f"undecodable WAVE: {e}") from e
+    if sw == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:  # packed signed 24-bit little-endian
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (b.size // 3) * 3].reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v & 0x800000, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        x = x[: (x.size // ch) * ch].reshape(-1, ch).mean(axis=1)
+    return x, fr
+
+
+def wav_envelope_feature(x: np.ndarray, dim: int = 16) -> np.ndarray:
+    """Mono samples → unit-norm RMS loudness envelope pooled to ``dim``
+    equal time windows (constant/silent-signal fallback: uniform vector) —
+    the audio analog of ``png_grid_feature``'s pooled-grayscale grid."""
+    if x.size == 0:
+        return np.full(dim, 1.0 / dim**0.5, dtype=np.float32)
+    idx = np.floor(np.arange(x.size) * dim / x.size).astype(np.int64)
+    sq = np.zeros(dim, dtype=np.float64)
+    cnt = np.zeros(dim, dtype=np.int64)
+    np.add.at(sq, idx, x * x)
+    np.add.at(cnt, idx, 1)
+    v = np.sqrt(sq / np.maximum(cnt, 1)).astype(np.float32)
+    norm = float(np.linalg.norm(v))
+    if norm == 0.0:
+        v = np.full(dim, 1.0 / dim**0.5, dtype=np.float32)
+        norm = 1.0
+    return v / norm
+
+
+class WavDecodeBackend(DecodeBackend):
+    """Real RIFF/WAVE PCM decode via stdlib ``wave`` (module docstring).
+
+    WAV payloads produce genuine loudness-envelope features
+    (``feature_kind="wav-stdlib"``); non-WAV payloads fall back to the
+    deterministic stub (``"stub"``) or, in strict mode, raise."""
+
+    @property
+    def feature_kind(self) -> str:
+        return "wav-stdlib"
+
+    def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
+        if payload is None:
+            return None, None
+        if _is_wav(payload):
+            samples, _fr = decode_wav(payload)
+            return wav_envelope_feature(samples, self.dim), self.feature_kind
+        if self.strict:
+            raise NotImplementedError(
+                "non-WAV media payload in strict mode: compressed audio/video "
+                "decode requires codec libraries not present in this environment"
+            )
+        return _stub_feature(payload, self.dim), "stub"
+
+    def decode_features(self, payload: bytes | None) -> np.ndarray | None:
+        return self.decode_with_kind(payload)[0]
+
+
+class MediaCodecBackend(DecodeBackend):
+    """Magic-byte router over the real codec kernels: PNG → pooled-grid
+    image feature, RIFF/WAVE PCM → loudness-envelope audio feature,
+    anything else → deterministic stub (strict mode: raise). Every row is
+    labeled by how it was ACTUALLY decoded, so a mixed media table keeps
+    per-row provenance."""
+
+    def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
+        if payload is None:
+            return None, None
+        if payload.startswith(PNG_MAGIC):
+            return png_grid_feature(decode_png(payload), self.dim), "png-stdlib"
+        if _is_wav(payload):
+            samples, _fr = decode_wav(payload)
+            return wav_envelope_feature(samples, self.dim), "wav-stdlib"
+        if self.strict:
+            raise NotImplementedError(
+                "payload matches no decodable codec (PNG, WAVE-PCM) in strict "
+                "mode: JPEG/compressed audio/video require codec libraries not "
+                "present in this environment"
+            )
+        return _stub_feature(payload, self.dim), "stub"
 
     def decode_features(self, payload: bytes | None) -> np.ndarray | None:
         return self.decode_with_kind(payload)[0]
