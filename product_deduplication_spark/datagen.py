@@ -232,3 +232,144 @@ def wrap_documents(documents_pdf: pd.DataFrame) -> pd.DataFrame:
         }
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Deterministic media payload synthesis (multimodal self-check)
+#
+# Package-side minimal encoders for the two codecs the engine decodes for
+# real (operators/multimodal.py: stdlib-zlib PNG, stdlib-wave RIFF/PCM).
+# These exist so the in-query self-check `media_decode_selfcheck` can gate
+# the full encode -> container parse -> unfilter/width-convert -> feature
+# path at every driver run; the INDEPENDENT validation of the decoders
+# (forward-filter writer, struct-only RIFF writer that never imports
+# `wave`) stays in tests/test_png_decode.py and tests/test_wav_decode.py.
+# --------------------------------------------------------------------------
+
+def encode_wav_pcm(ints: np.ndarray, sampwidth: int, framerate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE PCM writer. ``ints`` is integer samples, shape
+    (n,) mono or (n, ch): uint8 for sampwidth 1, int16 for sampwidth 2."""
+    import struct
+
+    if ints.ndim == 1:
+        ints = ints[:, None]
+    ch = ints.shape[1]
+    if sampwidth == 1:
+        frames = ints.astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        frames = ints.astype("<i2").tobytes()
+    else:
+        raise ValueError(sampwidth)
+    block_align = ch * sampwidth
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, framerate, framerate * block_align, block_align, sampwidth * 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_png_gray(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal grayscale 8-bit PNG writer applying one forward filter type
+    (0-4) to every scanline, so a payload can exercise each unfilter path."""
+    import struct
+    import zlib
+
+    if px.ndim == 3:
+        px = px[:, :, 0]
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].astype(np.int32)
+        left = np.concatenate([np.zeros(1, dtype=np.int32), cur[:-1]])
+        upleft = np.concatenate([np.zeros(1, dtype=np.int32), prev[:-1]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:  # Sub
+            enc = (cur - left) % 256
+        elif filter_type == 2:  # Up
+            enc = (cur - prev) % 256
+        elif filter_type == 3:  # Average
+            enc = (cur - ((left + prev) >> 1)) % 256
+        elif filter_type == 4:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (cur - pred) % 256
+        else:
+            raise ValueError(filter_type)
+        raw.append(filter_type)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def _chunk(ctype: bytes, payload: bytes) -> bytes:
+        import zlib as _z
+
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def media_payload_for_doc(doc_id: int, dim: int = 16):
+    """(payload, media_kind, expected_feature_kind, truth_feature) for a
+    doc_id — fully deterministic, no external data (BASELINE.json rule).
+
+    Routing by ``doc_id % 4``: 0 -> 16-bit mono WAV, 1 -> 8-bit stereo WAV
+    (exercises downmix), 2 -> grayscale PNG with filter type
+    ``(doc_id // 4) % 5`` (exercises every unfilter path across docs),
+    3 -> a non-codec blob that must stub. ``truth_feature`` is computed
+    DIRECTLY from the pre-encode sample/pixel arrays via the same public
+    feature kernels — so equality with the engine-decoded feature proves the
+    container roundtrip (parse, inflate, unfilter, width convert, downmix)
+    is lossless, bit for bit."""
+    from product_deduplication_spark.operators.multimodal import (
+        _stub_feature,
+        png_grid_feature,
+        wav_envelope_feature,
+    )
+
+    rng = np.random.default_rng(0xC0FFEE ^ (doc_id * 2654435761) % (1 << 32))
+    m = doc_id % 4
+    if m == 0:
+        n = 400 + (doc_id % 7) * 100
+        ints = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        payload = encode_wav_pcm(ints, sampwidth=2)
+        truth = wav_envelope_feature(ints.astype(np.float64) / 32768.0, dim)
+        return payload, "audio", "wav-stdlib", truth
+    if m == 1:
+        n = 300 + (doc_id % 5) * 100
+        u8 = rng.integers(0, 256, size=(n, 2)).astype(np.uint8)
+        payload = encode_wav_pcm(u8, sampwidth=1)
+        mono = ((u8.astype(np.float64) - 128.0) / 128.0).mean(axis=1)
+        truth = wav_envelope_feature(mono, dim)
+        return payload, "audio", "wav-stdlib", truth
+    if m == 2:
+        h, w = 8 + doc_id % 5, 8 + doc_id % 3
+        px = rng.integers(0, 256, size=(h, w, 1)).astype(np.uint8)
+        payload = encode_png_gray(px, filter_type=(doc_id // 4) % 5)
+        truth = png_grid_feature(px, dim)
+        return payload, "image", "png-stdlib", truth
+    payload = b"BLOB" + rng.integers(0, 256, size=64).astype(np.uint8).tobytes()
+    truth = _stub_feature(payload, dim)
+    return payload, "video", "stub", truth

@@ -174,7 +174,10 @@ def decode_png(data: bytes) -> np.ndarray:
         )
     ch = _PNG_CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt stream inside a well-formed chunk walk
+        raise ValueError(f"undecodable PNG IDAT stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -265,7 +268,16 @@ class PngDecodeBackend(DecodeBackend):
         if payload is None:
             return None, None
         if payload.startswith(PNG_MAGIC):
-            return png_grid_feature(decode_png(payload), self.dim), self.feature_kind
+            try:
+                return png_grid_feature(decode_png(payload), self.dim), self.feature_kind
+            except ValueError:
+                # corrupt/unsupported PNG: at corpus scale one bad blob must
+                # not fail the stage — degrade to the labeled stub (strict
+                # mode re-raises so pipelines that demand real decode fail
+                # loudly)
+                if self.strict:
+                    raise
+                return _stub_feature(payload, self.dim), "stub"
         if self.strict:
             raise NotImplementedError(
                 "non-PNG media payload in strict mode: JPEG/audio/video decode "
@@ -355,8 +367,15 @@ class WavDecodeBackend(DecodeBackend):
         if payload is None:
             return None, None
         if _is_wav(payload):
-            samples, _fr = decode_wav(payload)
-            return wav_envelope_feature(samples, self.dim), self.feature_kind
+            try:
+                samples, _fr = decode_wav(payload)
+                return wav_envelope_feature(samples, self.dim), self.feature_kind
+            except ValueError:
+                # corrupt/non-PCM WAVE: degrade to the labeled stub rather
+                # than failing the stage (strict mode re-raises)
+                if self.strict:
+                    raise
+                return _stub_feature(payload, self.dim), "stub"
         if self.strict:
             raise NotImplementedError(
                 "non-WAV media payload in strict mode: compressed audio/video "
@@ -378,11 +397,18 @@ class MediaCodecBackend(DecodeBackend):
     def decode_with_kind(self, payload: bytes | None) -> tuple[np.ndarray | None, str | None]:
         if payload is None:
             return None, None
-        if payload.startswith(PNG_MAGIC):
-            return png_grid_feature(decode_png(payload), self.dim), "png-stdlib"
-        if _is_wav(payload):
-            samples, _fr = decode_wav(payload)
-            return wav_envelope_feature(samples, self.dim), "wav-stdlib"
+        try:
+            if payload.startswith(PNG_MAGIC):
+                return png_grid_feature(decode_png(payload), self.dim), "png-stdlib"
+            if _is_wav(payload):
+                samples, _fr = decode_wav(payload)
+                return wav_envelope_feature(samples, self.dim), "wav-stdlib"
+        except ValueError:
+            # corrupt/unsupported payload behind a recognized magic: degrade
+            # to the labeled stub at corpus scale (strict mode re-raises)
+            if self.strict:
+                raise
+            return _stub_feature(payload, self.dim), "stub"
         if self.strict:
             raise NotImplementedError(
                 "payload matches no decodable codec (PNG, WAVE-PCM) in strict "

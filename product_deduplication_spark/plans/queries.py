@@ -534,7 +534,7 @@ def q_knn_cosine(spark, sf):
 
 # --------------------------------------------------------------------------
 # pipeline self-checks (oracle-backed): the dedup pipeline itself. Pattern
-# (same as q_ann_recall): the full non-SQL-expressible computation runs
+# (same as q_ann_topk's recall_ok): the full non-SQL-expressible computation runs
 # Spark-side and is reduced to a deterministic summary row whose invariants a
 # DuckDB oracle pins — so the driver's hard CORRECTNESS signal covers the
 # iterative/seeded operators too, not just a rows-only count.
@@ -749,16 +749,23 @@ def q_substring_containment(spark, sf):
 
 def q_ann_topk(spark, sf):
     """LSH-bucketed ANN over embeddings as a self-check row with a pinned
-    oracle (the raw top-k rows are exercised by q_ann_recall's recall gate
-    and tests; quality is gated there — THIS row pins the operator's output
-    contract):
+    oracle — pins BOTH the operator's output contract and its quality
+    (formerly two registry rows; merged so the multimodal self-check fits
+    the driver's 50-row window, and so both checks share one ann_topk
+    evaluation):
       n_rows        total returned rows (k per query)
       n_queries     distinct queries answered (= count of query vectors)
       per_query_ok  every query returns exactly k rows ranked rk = 1..k
       cos_exact_ok  every returned cos equals an independent exact
                     recomputation from the embedding table (re-rank step is
-                    exact, not approximate)"""
-    from product_deduplication_spark.operators.knn import _cos_expr, ann_topk
+                    exact, not approximate)
+      recall_ok     recall vs the exact brute-force top-k >= 0.9
+                    (deterministic: seeded hyperplanes)"""
+    from product_deduplication_spark.operators.knn import (
+        _cos_expr,
+        ann_topk,
+        brute_force_topk,
+    )
 
     k = 5
     e = _t(spark, sf, "embeddings")
@@ -784,18 +791,25 @@ def q_ann_topk(spark, sf):
     bad_shape = per_query.where(
         ~((F.col("_c") == k) & (F.col("_mn") == 1) & (F.col("_mx") == k) & (F.col("_dr") == k))
     )
+    truth = brute_force_topk(q, e, k=k).select("query_id", "neighbor_id")
+    hits = truth.join(
+        res.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
     row = (
         res.agg(
             F.count("*").alias("_n"), F.countDistinct("query_id").alias("_nq")
         )
         .crossJoin(bad_shape.agg(F.count("*").alias("_bs")))
         .crossJoin(bad_cos.agg(F.count("*").alias("_bc")))
+        .crossJoin(truth.agg(F.count("*").alias("_nt")))
+        .crossJoin(hits.agg(F.count("*").alias("_nh")))
     )
     return row.select(
         F.col("_n").cast("long").alias("n_rows"),
         F.col("_nq").cast("long").alias("n_queries"),
         (F.col("_bs") == 0).cast("int").alias("per_query_ok"),
         (F.col("_bc") == 0).cast("int").alias("cos_exact_ok"),
+        ((F.col("_nh") / F.col("_nt")) >= 0.9).cast("int").alias("recall_ok"),
     )
 
 
@@ -1119,26 +1133,83 @@ def q_agg_images_bulk(spark, sf):
     return agg_images_bulk_reference_shape(rel, imgs)
 
 
-def q_ann_recall(spark, sf):
-    """ANN quality gate as an oracle row: recall of LSH-bucketed ann_topk vs
-    the exact brute-force top-5, over the 10 query vectors. Deterministic
-    (seeded hyperplanes); the oracle pins n_queries and recall_ok."""
-    from product_deduplication_spark.operators.knn import ann_topk, brute_force_topk
+def q_media_decode_selfcheck(spark, sf):
+    """Multimodal decode as an oracle row (the real-codec backends of
+    operators/multimodal.py: stdlib-zlib PNG, stdlib-wave RIFF/PCM, with
+    magic-byte routing and per-row provenance). Payloads are synthesized
+    deterministically from the documents table — doc_id % 4 routes each doc
+    to 16-bit mono WAV / 8-bit stereo WAV (downmix) / grayscale PNG cycling
+    all five filter types / a non-codec blob that must stub
+    (datagen.media_payload_for_doc); NO external data. The engine path under
+    test is extract_media_features (mapInPandas over Arrow batches); truth
+    features are computed directly from the pre-encode sample/pixel arrays,
+    so feature_match_ok == 1 proves the full container roundtrip (chunk
+    parse, inflate, unfilter, width convert, channel downmix) is lossless
+    bit for bit. DuckDB recomputes the routing counts from doc_id % 4 and
+    pins both flags:
+      n_media           docs carried through synth -> decode -> join
+      n_wav/n_png/n_stub  routing counts (doc_id % 4 rule)
+      kind_ok           every row's feature_kind matches its routed codec
+      feature_match_ok  every decoded feature equals the direct-array truth
+    """
+    import pandas as pd
 
-    e = _t(spark, sf, "embeddings")
-    q = e.where(F.col("vec_id") < 10)
-    truth = brute_force_topk(q, e, k=5).select("query_id", "neighbor_id")
-    approx = ann_topk(q, e, k=5, dim=64, n_bits=4, n_tables=16).select(
-        "query_id", "neighbor_id"
+    from product_deduplication_spark.datagen import media_payload_for_doc
+    from product_deduplication_spark.operators.multimodal import (
+        MediaCodecBackend,
+        extract_media_features,
     )
-    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
-    overall = truth.agg(
-        F.countDistinct("query_id").cast("long").alias("n_queries"),
-        F.count("*").alias("_n_truth"),
-    ).crossJoin(hits.agg(F.count("*").alias("_n_hit")))
-    return overall.select(
-        "n_queries",
-        ((F.col("_n_hit") / F.col("_n_truth")) >= 0.9).cast("int").alias("recall_ok"),
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    synth_schema = (
+        "doc_url string, kind string, payload binary, "
+        "expected_kind string, truth_feature array<float>"
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                payload, media_kind, exp_kind, truth = media_payload_for_doc(int(did))
+                rows.append((str(did), media_kind, payload, exp_kind, truth.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_url", "kind", "payload", "expected_kind", "truth_feature"],
+            )
+
+    media = d.mapInPandas(synth, synth_schema)
+    decoded = extract_media_features(
+        media.select("doc_url", "kind", "payload"),
+        backend=MediaCodecBackend(dim=16, strict=False),
+    )
+    j = decoded.join(
+        media.select("doc_url", "expected_kind", "truth_feature"), "doc_url"
+    )
+    agg = j.agg(
+        F.count("*").alias("_n"),
+        F.sum((F.col("expected_kind") == "wav-stdlib").cast("long")).alias("_nw"),
+        F.sum((F.col("expected_kind") == "png-stdlib").cast("long")).alias("_np"),
+        F.sum((F.col("expected_kind") == "stub").cast("long")).alias("_ns"),
+        F.sum(
+            (
+                F.col("feature_kind").isNull()
+                | (F.col("feature_kind") != F.col("expected_kind"))
+            ).cast("long")
+        ).alias("_bk"),
+        F.sum(
+            (
+                F.col("feature").isNull()
+                | (F.col("feature") != F.col("truth_feature"))
+            ).cast("long")
+        ).alias("_bf"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_media"),
+        F.col("_nw").cast("long").alias("n_wav"),
+        F.col("_np").cast("long").alias("n_png"),
+        F.col("_ns").cast("long").alias("n_stub"),
+        (F.col("_bk") == 0).cast("int").alias("kind_ok"),
+        (F.col("_bf") == 0).cast("int").alias("feature_match_ok"),
     )
 
 
@@ -1189,7 +1260,7 @@ QUERIES = {
     "normalize_reference_chain": q_normalize_reference_chain,
     "substring_containment": q_substring_containment,
     "ann_topk": q_ann_topk,
-    "ann_recall": q_ann_recall,
+    "media_decode_selfcheck": q_media_decode_selfcheck,
     "grocery_parity_clusters": q_grocery_parity_clusters,
     "csv_roundtrip": q_csv_roundtrip,
     "bootstrap_canonical": q_bootstrap_canonical,
@@ -1594,8 +1665,17 @@ ORACLES = {
     "classification_accuracy": """
         SELECT CAST(5 AS BIGINT) AS n_labeled, CAST(0.6 AS DOUBLE) AS accuracy
     """,
-    "ann_recall": """
-        SELECT CAST(10 AS BIGINT) AS n_queries, CAST(1 AS INT) AS recall_ok
+    "media_decode_selfcheck": """
+        SELECT CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_wav,
+               CAST(sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_png,
+               CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stub,
+               CAST(1 AS INT) AS kind_ok,
+               CAST(1 AS INT) AS feature_match_ok
+        FROM documents
     """,
     "agg_images_bulk": """
         SELECT * FROM (VALUES
@@ -1695,7 +1775,7 @@ ORACLES = {
     """,
     # The genuinely non-SQL-expressible computations (iterative CC, LSH
     # banding, seeded hyperplanes) run Spark-side and reduce to summary rows
-    # whose invariants these oracles pin (ann_recall pattern): the count
+    # whose invariants these oracles pin (ann_topk recall_ok pattern): the count
     # columns come from the data (DuckDB recomputes them), the _ok flags are
     # in-query cross-checks against Spark-computed brute-force truth.
     "minhash_dedup_clusters": """
@@ -1715,7 +1795,8 @@ ORACLES = {
         SELECT CAST(5 * count(*) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_queries,
                CAST(1 AS INT) AS per_query_ok,
-               CAST(1 AS INT) AS cos_exact_ok
+               CAST(1 AS INT) AS cos_exact_ok,
+               CAST(1 AS INT) AS recall_ok
         FROM embeddings WHERE vec_id < 10
     """,
 }
