@@ -84,6 +84,13 @@ SCALING_REPEATS = _parse_repeats(os.environ.get("SCALING_REPEATS", "2"))
 # eligible: pinned, same doc count, per-stage boundary probes present.
 # The report records how many prior samples joined the pool.
 SCALING_MERGE_SAMPLES = os.environ.get("SCALING_MERGE_SAMPLES", "1") == "1"
+# engine version tag: bump whenever a change lands in the scaling job's hot
+# path (features/candidates/verify/CC) — pooled best-window comparisons are
+# only fair between windows running the SAME engine code, so the pool filter
+# keys on this. Samples written before the tag existed are the round-4/5
+# pre-bootstrap-LSH engine ("r5a").
+SCALING_ENGINE_TAG = os.environ.get("SCALING_ENGINE_TAG", "r5b-lsh-bootstrap")
+_PRE_TAG_ENGINE = "r5a"
 # warm-up corpus size: the discarded warm-up rep exists to absorb one-time
 # costs (codegen compilation, python-worker fork pool, parquet page cache) —
 # none of which needs a FULL pass. A pinned local[2] full pass at the 2x
@@ -680,6 +687,7 @@ def run_scaling(rounds: int | None = None) -> dict:
                 "alu_rate": alu,
                 "dram_rate": dram,
                 "corpus_files": corpus_files,
+                "engine": SCALING_ENGINE_TAG,
                 **gate_info,
             }
             samples[c].append(sample)
@@ -694,22 +702,30 @@ def run_scaling(rounds: int | None = None) -> dict:
     else:
         # report-only invocation (SCALING_LEVELS=''): take the doc count
         # from the pool's samples at the current corpus layout
-        cands = [d for d in prior if d.get("corpus_files") == corpus_files]
+        cands = [
+            d
+            for d in prior
+            if d.get("corpus_files") == corpus_files
+            and (d.get("engine") or _PRE_TAG_ENGINE) == SCALING_ENGINE_TAG
+        ]
         if not cands:
             raise SystemExit(
                 "report-only run but no pooled samples match the current "
                 "corpus layout — run with SCALING_LEVELS=2,8,32 first"
             )
         docs_n = cands[0]["docs"]
-    # pool only samples measured on the SAME physical input: docs count AND
-    # file layout (corpus_files) — pre-multi-file samples read a one-row-group
-    # file whose scans were serial, a different job physically
+    # pool only samples measured on the SAME physical input AND engine code:
+    # docs count, file layout (corpus_files — pre-multi-file samples read a
+    # one-row-group file whose scans were serial, a different job
+    # physically), and engine tag (a best-window ratio between two engine
+    # versions measures the code delta, not scaling)
     merged_prior = (
         [
             d
             for d in prior
             if d.get("docs") == docs_n
             and d.get("corpus_files") == corpus_files
+            and (d.get("engine") or _PRE_TAG_ENGINE) == SCALING_ENGINE_TAG
             and d.get("stage_probes")
             and d.get("stages")
         ]

@@ -43,6 +43,11 @@ the younger of a, b.
 
 Band hashes are computed JVM-side with xxhash64 over signature slices —
 whole-stage codegen, no Python round trip.
+
+Bootstrap (``delta_ids=None``) takes a dedicated narrow-relation fast path
+(``_candidate_pairs_bootstrap``): no ``is_new`` column, bucket keys packed
+to a single long, primitive member arrays — the widest shuffle of the
+pipeline at 2/3 the bytes, identical pair set (pinned in tests).
 """
 
 from __future__ import annotations
@@ -80,6 +85,115 @@ def explode_bands(features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id")
     return features.select(
         F.col(id_col).alias("node"),
         F.posexplode(_bands_col(features, cfg)).alias("band", "band_hash"),
+    )
+
+
+def _pack_band_key(band_col, hash_col):
+    """Pack (band index, band hash) into ONE 8-byte key: band in the top 6
+    bits, the hash's low 58 bits below. Cross-band buckets can never merge
+    (distinct high bits) and 2^58 residual space keeps within-band collisions
+    at the xxhash64 noise level. Halves the bucket-key width in every
+    exchange of the exploded band relation (two UnsafeRow words -> one)."""
+    return F.shiftleft(band_col.cast("long"), 58).bitwiseOR(
+        hash_col.bitwiseAND(F.lit((1 << 58) - 1))
+    )
+
+
+def _pairs_from_sorted_id_arrays(buckets: DataFrame) -> DataFrame:
+    """All (src < dst) pairs from a sorted ``ids`` member array — bootstrap
+    twin of ``_pairs_from_member_arrays``: no is_new filter, and the member
+    arrays are primitive longs (one word per member) instead of structs (an
+    UnsafeRow per member), so the collect + HOF enumeration touches fewer
+    bytes. Pure JVM higher-order functions."""
+    ids = F.col("ids")
+    pair_struct = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")),
+        ),
+    )
+    return (
+        buckets.select(F.explode(F.flatten(pair_struct)).alias("p"))
+        .select(F.col("p.src"), F.col("p.dst"))
+    )
+
+
+def _candidate_pairs_bootstrap(
+    features: DataFrame,
+    cfg: DedupConfig,
+    id_col: str,
+    scope: CacheScope | None,
+) -> DataFrame:
+    """``candidate_pairs`` fast path for bootstrap mode (``delta_ids=None``,
+    every doc "new"): identical pair set to the general path with all-new
+    inputs (pinned in tests/test_plans_and_skew.py), but every relation is
+    narrower — the constant-true ``is_new`` column is dropped, bucket keys
+    are packed to one long (``_pack_band_key``), hubs are plain ``min(node)``
+    instead of ``min(struct(node, is_new))``, and small-bucket member arrays
+    are bare ids (primitive longs for the pipeline's xxhash64 doc ids; one
+    UnsafeRow per member in the general path's struct arrays either way). The exploded band relation is the pipeline's widest
+    shuffle (docs x bands rows through the sizes agg, the collision join,
+    and the persist), so its byte width is the candidates stage's DRAM bill.
+    Skew strategy is unchanged — see the module docstring."""
+    arrs_src = features.select(
+        F.col(id_col).alias("node"), _bands_col(features, cfg).alias("_bh")
+    )
+    bands = arrs_src.select(
+        "node", F.posexplode("_bh").alias("band", "band_hash")
+    ).select("node", _pack_band_key(F.col("band"), F.col("band_hash")).alias("bkey"))
+
+    sizes = bands.groupBy("bkey").agg(
+        F.count("*").alias("bucket_n"), F.min("node").alias("hub")
+    )
+    keyed = bands.join(sizes.where(F.col("bucket_n") > 1), "bkey")
+    keyed = persist_in(keyed, scope)
+
+    small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
+    big = keyed.where(F.col("bucket_n") > cfg.bucket_cap)
+
+    small_buckets = small.groupBy("bkey").agg(
+        F.array_sort(F.collect_list("node")).alias("ids")
+    )
+    small_pairs = _pairs_from_sorted_id_arrays(small_buckets)
+
+    # hot buckets: secondary re-banding, (i, j>i) covers each band pair once;
+    # the original band index comes back out of the packed key's top bits
+    big2 = (
+        big.withColumn("band", F.shiftrightunsigned("bkey", 58).cast("int"))
+        .join(arrs_src, "node")
+        .select("bkey", "band", "node", F.posexplode("_bh").alias("band2", "band2_hash"))
+        .where(F.col("band2") > F.col("band"))
+        .select(
+            "bkey",
+            "node",
+            _pack_band_key(F.col("band2"), F.col("band2_hash")).alias("bkey2"),
+        )
+    )
+    big2 = persist_in(big2, scope)
+    sub_sizes = big2.groupBy("bkey", "bkey2").agg(
+        F.count("*").alias("sub_n"), F.min("node").alias("sub_hub")
+    )
+    sub_keyed = big2.join(sub_sizes.where(F.col("sub_n") > 1), ["bkey", "bkey2"])
+    sub_small_buckets = (
+        sub_keyed.where(F.col("sub_n") <= cfg.bucket_cap)
+        .groupBy("bkey", "bkey2")
+        .agg(F.array_sort(F.collect_list("node")).alias("ids"))
+    )
+    sub_small_pairs = _pairs_from_sorted_id_arrays(sub_small_buckets)
+    sub_hot_pairs = (
+        sub_keyed.where(F.col("sub_n") > cfg.bucket_cap)
+        .where(F.col("node") != F.col("sub_hub"))
+        .select(F.col("sub_hub").alias("src"), F.col("node").alias("dst"))
+    )
+    big_star = big.where(F.col("node") != F.col("hub")).select(
+        F.col("hub").alias("src"), F.col("node").alias("dst")
+    )
+    return (
+        small_pairs.unionByName(sub_small_pairs)
+        .unionByName(sub_hot_pairs)
+        .unionByName(big_star)
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -131,22 +245,24 @@ def candidate_pairs(
     unpersist, see caching.py). Without a scope the caches live until session
     teardown (one-shot scripts).
     """
-    bands = explode_bands(features, cfg, id_col)
-
     if delta_ids is None:
-        bands = bands.withColumn("is_new", F.lit(True))
-    else:
-        new_nodes = (
-            delta_ids.select(F.col(delta_ids.columns[0]).alias("node"))
-            .distinct()
-            .withColumn("_n", F.lit(True))
-        )
-        bands = bands.join(new_nodes, "node", "left").withColumn(
-            "is_new", F.coalesce(F.col("_n"), F.lit(False))
-        ).drop("_n")
-        # only buckets touching the delta can emit a (new, any) pair
-        touched = bands.where("is_new").select("band", "band_hash").distinct()
-        bands = bands.join(touched, ["band", "band_hash"], "left_semi")
+        # bootstrap: every doc is "new" — take the narrow-relation fast path
+        # (identical pair set to this general path with all-new inputs,
+        # pinned in tests/test_plans_and_skew.py)
+        return _candidate_pairs_bootstrap(features, cfg, id_col, scope)
+
+    bands = explode_bands(features, cfg, id_col)
+    new_nodes = (
+        delta_ids.select(F.col(delta_ids.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    bands = bands.join(new_nodes, "node", "left").withColumn(
+        "is_new", F.coalesce(F.col("_n"), F.lit(False))
+    ).drop("_n")
+    # only buckets touching the delta can emit a (new, any) pair
+    touched = bands.where("is_new").select("band", "band_hash").distinct()
+    bands = bands.join(touched, ["band", "band_hash"], "left_semi")
 
     # Skew note: no explicit pre-shuffle salting is needed for these aggs —
     # count/min are algebraic, so Spark partial-aggregates them map-side and

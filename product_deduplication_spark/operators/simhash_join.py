@@ -58,28 +58,27 @@ def simhash_candidate_pairs(
         .select(F.col("hub").alias("src"), F.col("node").alias("dst"))
     )
 
+    # (chunk index, chunk value) packed into ONE key: index in the bits above
+    # the chunk width (chunk values are < 2^width by construction, so keys
+    # from different indices can never collide) — halves the join-key width
+    # in the self-join exchange, the operator's dominant shuffle
     distinct_fp = reps.select("node", "simhash")
     chunked = distinct_fp.select(
         "node",
         "simhash",
-        F.posexplode(
-            F.array(*[_chunk(F.col("simhash"), i, width) for i in range(cfg.simhash_chunks)])
-        ).alias("chunk_idx", "chunk_val"),
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(i << width) + _chunk(F.col("simhash"), i, width)).alias(f"_c{i}")
+                    for i in range(cfg.simhash_chunks)
+                ]
+            )
+        ).alias("ckey"),
     )
-    a = chunked.select(
-        F.col("chunk_idx"),
-        F.col("chunk_val"),
-        F.col("node").alias("src"),
-        F.col("simhash").alias("sh_a"),
-    )
-    b = chunked.select(
-        F.col("chunk_idx"),
-        F.col("chunk_val"),
-        F.col("node").alias("dst"),
-        F.col("simhash").alias("sh_b"),
-    )
+    a = chunked.select("ckey", F.col("node").alias("src"), F.col("simhash").alias("sh_a"))
+    b = chunked.select("ckey", F.col("node").alias("dst"), F.col("simhash").alias("sh_b"))
     near = (
-        a.join(b, ["chunk_idx", "chunk_val"])
+        a.join(b, "ckey")
         .where(F.col("src") < F.col("dst"))
         .where(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -88,4 +87,10 @@ def simhash_candidate_pairs(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    return near.unionByName(same_fp_pairs).dropDuplicates(["src", "dst"])
+    # near and same_fp_pairs are disjoint by construction — near pairs are
+    # both per-fingerprint representatives (min node of their fp class),
+    # same_fp pairs link a representative to a strictly-greater NON-
+    # representative of the same class — and each side is already distinct,
+    # so a plain union is the distinct pair set (no final dropDuplicates:
+    # that was a full extra shuffle of the pair relation)
+    return near.unionByName(same_fp_pairs)

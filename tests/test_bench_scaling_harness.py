@@ -135,15 +135,22 @@ def test_run_scaling_report_renders_with_fake_children(tmp_path, monkeypatch):
         "stages": dict(stages),
         "stage_probes": probes,
         "corpus_files": corpus_files,
+        "engine": bench.SCALING_ENGINE_TAG,
     }
     # a sample from the pre-multi-file corpus layout (no corpus_files key):
     # physically a different job (serial one-row-group scans), must NOT join
     # the pool even though it is pinned + probed and would win on sec
     stale = dict(prior, sec=1.0, docs_per_sec=100.0)
     stale.pop("corpus_files")
+    # a sample measured on a DIFFERENT engine version (pre-tag sample, no
+    # engine key): a best-window ratio across engine versions measures the
+    # code delta, not scaling — must NOT join the pool either
+    old_engine = dict(prior, sec=0.5, docs_per_sec=200.0)
+    old_engine.pop("engine")
     with open(tmp_path / "BENCH" / "scaling_samples.jsonl", "w") as f:
         f.write(_json.dumps(prior) + "\n")
         f.write(_json.dumps(stale) + "\n")
+        f.write(_json.dumps(old_engine) + "\n")
 
     def fake_child(cores, repeats=1, warmup=1):
         return {
@@ -239,6 +246,7 @@ def _seed_pool(tmp_path, corpus_files):
                         "stages": {s: v * 2 / cores for s, v in stages.items()},
                         "stage_probes": probes,
                         "corpus_files": corpus_files,
+                        "engine": bench.SCALING_ENGINE_TAG,
                     }
                 )
                 + "\n"

@@ -115,6 +115,28 @@ def test_hot_bucket_secondary_reband_recovers_pair(spark):
     assert (0, 50) in pairs and (20, 51) in pairs
 
 
+def test_bootstrap_fast_path_equals_general_path(spark):
+    """The bootstrap fast path (packed single-long bucket keys, no is_new
+    column, primitive member arrays) must emit EXACTLY the general path's
+    pair set when every doc is new. Force the general path by passing
+    delta_ids = all ids; cover small buckets, hot buckets, secondary
+    re-banding, and still-hot stars via the fixture + a boilerplate block."""
+    rows = _two_hot_band_fixture()
+    # a bucket-cap-busting block of identical signatures (still-hot sub-
+    # buckets + hub star) on top of the fixture's hot/reband cases
+    rows += [(100 + i, [7, 7, 8, 8, 9, 9, 10, 10]) for i in range(10)]
+    cfg = _LSH_CFG.with_(bucket_cap=4)
+    feats = _sig_features(spark, rows)
+    fast = {(r["src"], r["dst"]) for r in candidate_pairs(feats, cfg).collect()}
+    all_ids = feats.select(F.col("doc_id"))
+    general = {
+        (r["src"], r["dst"])
+        for r in candidate_pairs(feats, cfg, delta_ids=all_ids).collect()
+    }
+    assert fast == general
+    assert (50, 51) in fast and (100, 101) in fast
+
+
 def test_delta_candidates_equal_new_vs_all(spark):
     """Delta mode emits exactly the full-mode pairs that touch a new doc —
     per-batch cost proportional to the delta, zero recall loss."""
