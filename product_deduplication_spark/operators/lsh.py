@@ -132,9 +132,10 @@ def _candidate_pairs_bootstrap(
     are packed to one long (``_pack_band_key``), hubs are plain ``min(node)``
     instead of ``min(struct(node, is_new))``, and small-bucket member arrays
     are bare ids (primitive longs for the pipeline's xxhash64 doc ids; one
-    UnsafeRow per member in the general path's struct arrays either way). The exploded band relation is the pipeline's widest
-    shuffle (docs x bands rows through the sizes agg, the collision join,
-    and the persist), so its byte width is the candidates stage's DRAM bill.
+    UnsafeRow per member in the general path's struct arrays either way).
+    The exploded band relation is the pipeline's widest shuffle (docs x
+    bands rows through the sizes agg, the collision join, and the
+    persist), so its byte width is the candidates stage's DRAM bill.
     Skew strategy is unchanged — see the module docstring."""
     arrs_src = features.select(
         F.col(id_col).alias("node"), _bands_col(features, cfg).alias("_bh")
