@@ -105,7 +105,15 @@ def make_feature_udf(cfg: DedupConfig, simhash: bool = True):
             }
         )
 
-    return features
+    # asNondeterministic: the function IS deterministic (pure hash of the
+    # text), but the flag stops Catalyst pushing derived filters (e.g. the
+    # size(bands) > 0 precondition a posexplode generates) below the
+    # spread-repartition exchange, which duplicated the whole Arrow UDF —
+    # one evaluation per corpus pass below the filter and one above
+    # (guide §4.4 pattern; measured: 2x ArrowEvalPython in every unpersisted
+    # consumer's plan, i.e. a full extra feature pass in the token-Jaccard
+    # LSH queries).
+    return features.asNondeterministic()
 
 
 def _estimated_scan_width(df) -> int:

@@ -8,18 +8,20 @@ verified-pair edge list (SURVEY.md §2.8 note on V7/A12) — large-star/
 small-star computes exactly that in O(log n) rounds (Kiveris et al.,
 "Connected Components in MapReduce and Beyond", SoCC 2014).
 
-Each round is two join+min-aggregation jobs; ``localCheckpoint`` per round
-truncates lineage (SURVEY.md §4.2). Convergence = edge multiset stable
-(count + order-insensitive xxhash64 sum — one cheap agg per round).
+Each round is two window-min passes (one exchange of the edge list each —
+see _large_star) plus a dedup; ``localCheckpoint`` per round truncates
+lineage (SURVEY.md §4.2). Convergence = edge multiset stable (count +
+order-insensitive xxhash64 sum — one cheap agg per round).
 
-At scale: all joins are on long node ids; min() aggs partial-aggregate
-map-side, so a hot root (giant component) never concentrates raw edges on
-one reducer.
+At scale: all exchanges are on long node ids. A hot root (giant component)
+concentrates its O(degree) neighbor rows on one reducer — exactly what the
+former join-back step did — and the per-row work there is a running min,
+never a pairwise blowup.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from product_deduplication_spark.caching import CacheScope, persist_in
 
@@ -37,24 +39,32 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, connect strictly-larger neighbors to the min of the
-    closed neighborhood."""
+    closed neighborhood.
+
+    The neighborhood min comes from a window over the doubled edge list —
+    ONE exchange of it — instead of the former groupBy + join-back, which
+    exchanged it twice per round (each round of the CC loop ran both star
+    ops, so this halves the loop's shuffled bytes and its stage count)."""
     nbrs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    mins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
-    mins = mins.withColumn("m", F.least("a", "mn")).select("a", "m")
+    mn = F.min("b").over(Window.partitionBy("a"))
     return (
-        nbrs.join(mins, "a")
+        nbrs.withColumn("m", F.least(F.col("a"), mn))
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("src"), F.col("m").alias("dst"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Connect all smaller-or-equal neighbors (and self) to the neighborhood min."""
-    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    moved = edges.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
-    self_edges = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    """Connect all smaller-or-equal neighbors (and self) to the neighborhood
+    min. Same window fusion as _large_star; the self edge is emitted once
+    per input edge instead of once per node (duplicates collapse in the
+    _canonical() that always follows in the loop)."""
+    m = F.min("v").over(Window.partitionBy("u"))
+    e2 = edges.select("u", F.col("v").alias("src"), m.alias("dst"))
+    moved = e2.select("src", "dst")
+    self_edges = e2.select(F.col("u").alias("src"), "dst")
     return moved.unionAll(self_edges)
 
 

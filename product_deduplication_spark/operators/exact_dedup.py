@@ -7,24 +7,32 @@ edges (min doc_id â†” member) keeps a group of n identical docs at O(n) edges â€
 no pairwise blowup for boilerplate pages, and connectivity under CC is
 identical to the full clique.
 
-Scale: one hash-shuffle on a 64-char key; partial aggregation is map-side
-(hash agg), AQE coalesces small partitions. No skew issue beyond a single
-pathological identical-page key, which the star construction already bounds.
+Scale: one hash-shuffle on a 64-char key. min/count come from window
+functions over that single exchange â€” the former groupBy + join-back scanned
+(and sha2-hashed) the corpus twice and shuffled the (node, h) relation twice
+(unique content hashes defeat partial aggregation, so the agg exchange
+carried ~one row per doc anyway). No skew issue beyond a single pathological
+identical-page key, which the star construction already bounds to O(n) rows
+on one reducer.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def exact_duplicate_edges(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Edges (src, dst, method='exact', similarity=1.0) linking each doc to
     the min-id doc with byte-identical text."""
     hashed = df.select(F.col(id_col).alias("node"), F.sha2(F.col(text_col), 256).alias("h"))
-    hubs = hashed.groupBy("h").agg(F.min("node").alias("hub"), F.count("*").alias("n"))
+    w = Window.partitionBy("h")
     return (
-        hashed.join(hubs.where(F.col("n") > 1), "h")
-        .where(F.col("node") != F.col("hub"))
+        hashed.select(
+            "node",
+            F.min("node").over(w).alias("hub"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where((F.col("n") > 1) & (F.col("node") != F.col("hub")))
         .select(
             F.col("hub").alias("src"),
             F.col("node").alias("dst"),

@@ -45,14 +45,18 @@ Band hashes are computed JVM-side with xxhash64 over signature slices —
 whole-stage codegen, no Python round trip.
 
 Bootstrap (``delta_ids=None``) takes a dedicated narrow-relation fast path
-(``_candidate_pairs_bootstrap``): no ``is_new`` column, bucket keys packed
-to a single long, primitive member arrays — the widest shuffle of the
-pipeline at 2/3 the bytes, identical pair set (pinned in tests).
+(``_candidate_pairs_bootstrap``): no ``is_new`` column, primitive member
+arrays, identical pair set (pinned in tests). BOTH paths pack bucket keys to
+a single long (``_pack_band_key``) and compute bucket statistics with window
+functions over one exchange of the exploded band relation — the widest
+shuffle of the pipeline — instead of a groupBy + join-back that shuffled it
+twice (near-unique bucket keys defeat partial aggregation, so the agg
+exchange carried ~one row per band anyway).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from product_deduplication_spark.caching import CacheScope, persist_in
 from product_deduplication_spark.config import DedupConfig
@@ -144,10 +148,20 @@ def _candidate_pairs_bootstrap(
         "node", F.posexplode("_bh").alias("band", "band_hash")
     ).select("node", _pack_band_key(F.col("band"), F.col("band_hash")).alias("bkey"))
 
-    sizes = bands.groupBy("bkey").agg(
-        F.count("*").alias("bucket_n"), F.min("node").alias("hub")
-    )
-    keyed = bands.join(sizes.where(F.col("bucket_n") > 1), "bkey")
+    # bucket stats via window functions over ONE exchange of the exploded
+    # band relation — the former groupBy(bkey).agg + join-back shuffled the
+    # same relation twice (the partial agg barely collapses near-unique
+    # bucket keys, so the agg exchange carried ~row-per-band too). count/min
+    # over an unordered bkey window give the identical (bucket_n, hub) per
+    # member row. Hot keys land on one reducer either way — O(bucket) rows,
+    # same as the join they replace.
+    w = Window.partitionBy("bkey")
+    keyed = bands.select(
+        "bkey",
+        "node",
+        F.count("*").over(w).alias("bucket_n"),
+        F.min("node").over(w).alias("hub"),
+    ).where(F.col("bucket_n") > 1)
     keyed = persist_in(keyed, scope)
 
     small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
@@ -171,11 +185,17 @@ def _candidate_pairs_bootstrap(
             _pack_band_key(F.col("band2"), F.col("band2_hash")).alias("bkey2"),
         )
     )
-    big2 = persist_in(big2, scope)
-    sub_sizes = big2.groupBy("bkey", "bkey2").agg(
-        F.count("*").alias("sub_n"), F.min("node").alias("sub_hub")
-    )
-    sub_keyed = big2.join(sub_sizes.where(F.col("sub_n") > 1), ["bkey", "bkey2"])
+    # same window fusion for the sub-bucket stats: one exchange of the
+    # re-band rows instead of groupBy + join-back, and big2 now has a single
+    # consumer so its persist (and cache-lifetime bookkeeping) is gone
+    w2 = Window.partitionBy("bkey", "bkey2")
+    sub_keyed = big2.select(
+        "bkey",
+        "bkey2",
+        "node",
+        F.count("*").over(w2).alias("sub_n"),
+        F.min("node").over(w2).alias("sub_hub"),
+    ).where(F.col("sub_n") > 1)
     sub_small_buckets = (
         sub_keyed.where(F.col("sub_n") <= cfg.bucket_cap)
         .groupBy("bkey", "bkey2")
@@ -239,12 +259,12 @@ def candidate_pairs(
     "new"; when given, only pairs with at least one new side are produced
     (incremental batches — see module docstring).
 
-    ``scope``: registers the two internal persists (collision-bucket members
-    + hot-member re-band rows) for explicit release once the caller has
-    materialized the pairs — required in long-lived sessions (the streaming
-    loop calls this per micro-batch; CacheManager holds persisted plans until
-    unpersist, see caching.py). Without a scope the caches live until session
-    teardown (one-shot scripts).
+    ``scope``: registers the internal persist (collision-bucket members) for
+    explicit release once the caller has materialized the pairs — required
+    in long-lived sessions (the streaming loop calls this per micro-batch;
+    CacheManager holds persisted plans until unpersist, see caching.py).
+    Without a scope the cache lives until session teardown (one-shot
+    scripts).
     """
     if delta_ids is None:
         # bootstrap: every doc is "new" — take the narrow-relation fast path
@@ -252,37 +272,54 @@ def candidate_pairs(
         # pinned in tests/test_plans_and_skew.py)
         return _candidate_pairs_bootstrap(features, cfg, id_col, scope)
 
-    bands = explode_bands(features, cfg, id_col)
+    # tag is_new on the PER-DOC feature rows, before the band explode — the
+    # former explode-then-join shipped lsh_bands copies of every node id into
+    # the delta join (guide §3.3: explode before a join multiplies the
+    # shuffle); joining first moves one row per doc
     new_nodes = (
         delta_ids.select(F.col(delta_ids.columns[0]).alias("node"))
         .distinct()
         .withColumn("_n", F.lit(True))
     )
-    bands = bands.join(new_nodes, "node", "left").withColumn(
+    arrs = features.select(
+        F.col(id_col).alias("node"), _bands_col(features, cfg).alias("_bh")
+    )
+    tagged = arrs.join(new_nodes, "node", "left").withColumn(
         "is_new", F.coalesce(F.col("_n"), F.lit(False))
     ).drop("_n")
-    # only buckets touching the delta can emit a (new, any) pair
-    touched = bands.where("is_new").select("band", "band_hash").distinct()
-    bands = bands.join(touched, ["band", "band_hash"], "left_semi")
-
-    # Skew note: no explicit pre-shuffle salting is needed for these aggs —
-    # count/min are algebraic, so Spark partial-aggregates them map-side and
-    # a hot (band, band_hash) key reaches the reducer as one row per map
-    # task, never as raw rows. min(struct(node, is_new)) gives the hub id
-    # AND whether the hub itself is new in one agg.
-    sizes = bands.groupBy("band", "band_hash").agg(
-        F.count("*").alias("bucket_n"),
-        F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_hub"),
+    # (band, band_hash) packed to ONE long key — the same 2/3-width cut the
+    # bootstrap fast path ships; the packed key flows through every exchange
+    # of the exploded band relation below
+    bands = tagged.select(
+        "node", "is_new", F.posexplode("_bh").alias("band", "band_hash")
+    ).select(
+        "node", "is_new", _pack_band_key(F.col("band"), F.col("band_hash")).alias("bkey")
     )
-    keyed = bands.join(sizes.where(F.col("bucket_n") > 1), ["band", "band_hash"])
+
+    # bucket stats + delta restriction via window functions over ONE exchange
+    # of the band relation. The former pipeline shuffled it three times:
+    # touched distinct + semi join, sizes agg, join-back (the agg exchanges
+    # barely collapse near-unique bucket keys). count/min/max over an
+    # unordered bkey window give identical values per member row; buckets
+    # with no new member (_touched = false) or a single member drop before
+    # anything else runs. min(struct(node, is_new)) gives the hub id AND
+    # whether the hub is new, exactly as the agg did. Hot keys land on one
+    # reducer either way — O(bucket) rows, same as the join they replace.
+    w = Window.partitionBy("bkey")
+    keyed = bands.select(
+        "bkey",
+        "node",
+        "is_new",
+        F.count("*").over(w).alias("bucket_n"),
+        F.min(F.struct(F.col("node"), F.col("is_new"))).over(w).alias("_hub"),
+        F.max("is_new").over(w).alias("_touched"),
+    ).where(F.col("_touched") & (F.col("bucket_n") > 1))
     # keyed feeds FOUR downstream branches (small pairs, secondary re-band,
     # still-hot stars, hub-star backstop). Catalyst pushes each branch's
-    # bucket_n filter into its own copy of the bands→sizes→join subtree, so
-    # the canonicalized exchanges differ and AQE stage reuse never fires —
-    # measured: the full explode+agg+join recomputed once PER BRANCH (zero
-    # ReusedExchange in the final adaptive plan). Persisting pins one
-    # computation; the cache is collision-bucket members only (~1% of the
-    # exploded band relation), released via ``scope`` by the caller.
+    # bucket_n filter into its own copy of the subtree, so the canonicalized
+    # exchanges differ and AQE stage reuse never fires. Persisting pins one
+    # computation; the cache is collision-bucket members only, released via
+    # ``scope`` by the caller.
     keyed = persist_in(keyed, scope)
 
     small = keyed.where(F.col("bucket_n") <= cfg.bucket_cap)
@@ -290,44 +327,45 @@ def candidate_pairs(
 
     # small buckets: full (new-touching) pair enumeration via sorted member
     # array + HOFs — array_sort on struct orders by node, so src < dst
-    small_buckets = small.groupBy("band", "band_hash").agg(
+    small_buckets = small.groupBy("bkey").agg(
         F.array_sort(F.collect_list(F.struct("node", "is_new"))).alias("ids")
     )
     small_pairs = _pairs_from_member_arrays(small_buckets)
 
     # hot buckets: secondary re-banding — re-key each hot member by every
     # LATER band's hash ((i, j) with j > i covers each unordered band pair
-    # once). The join back to the per-doc band array touches only hot-bucket
-    # members, and the groupBys below are algebraic (map-side partials), so
-    # a mega-hot bucket never concentrates raw rows on one reducer.
-    arrs = features.select(
-        F.col(id_col).alias("node"), _bands_col(features, cfg).alias("_bh")
-    )
+    # once; the original band index comes back out of the packed key's top
+    # bits). The join back to the per-doc band array touches only hot-bucket
+    # members.
     big2 = (
-        big.join(arrs, "node")
+        big.withColumn("band", F.shiftrightunsigned("bkey", 58).cast("int"))
+        .join(arrs, "node")
         .select(
-            "band",
-            "band_hash",
-            "node",
-            "is_new",
+            "bkey", "band", "node", "is_new",
             F.posexplode("_bh").alias("band2", "band2_hash"),
         )
         .where(F.col("band2") > F.col("band"))
+        .select(
+            "bkey",
+            "node",
+            "is_new",
+            _pack_band_key(F.col("band2"), F.col("band2_hash")).alias("bkey2"),
+        )
     )
-    # same reuse story as keyed: big2 feeds sub_sizes AND sub_keyed — persist
-    # so the features join + re-band explode runs once (hot-member rows only)
-    big2 = persist_in(big2, scope)
-    sub_sizes = big2.groupBy("band", "band_hash", "band2", "band2_hash").agg(
-        F.count("*").alias("sub_n"),
-        F.min(F.struct(F.col("node"), F.col("is_new"))).alias("_sub_hub"),
-    )
-    sub_keyed = big2.join(
-        sub_sizes.where(F.col("sub_n") > 1),
-        ["band", "band_hash", "band2", "band2_hash"],
-    )
+    # same window fusion for sub-bucket stats (one exchange of the re-band
+    # rows; big2 now has a single consumer so its persist is gone)
+    w2 = Window.partitionBy("bkey", "bkey2")
+    sub_keyed = big2.select(
+        "bkey",
+        "bkey2",
+        "node",
+        "is_new",
+        F.count("*").over(w2).alias("sub_n"),
+        F.min(F.struct(F.col("node"), F.col("is_new"))).over(w2).alias("_sub_hub"),
+    ).where(F.col("sub_n") > 1)
     sub_small_buckets = (
         sub_keyed.where(F.col("sub_n") <= cfg.bucket_cap)
-        .groupBy("band", "band_hash", "band2", "band2_hash")
+        .groupBy("bkey", "bkey2")
         .agg(F.array_sort(F.collect_list(F.struct("node", "is_new"))).alias("ids"))
     )
     sub_small_pairs = _pairs_from_member_arrays(sub_small_buckets)

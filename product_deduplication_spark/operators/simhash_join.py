@@ -19,7 +19,7 @@ bucket by the number of *distinct* fingerprints in it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from product_deduplication_spark.config import DedupConfig
 
@@ -50,19 +50,27 @@ def simhash_candidate_pairs(
         ).alias("simhash"),
     )
 
-    # star-connect identical fingerprints; one representative per fingerprint
-    reps = fp.groupBy("simhash").agg(F.min("node").alias("node"), F.count("*").alias("n"))
-    same_fp_pairs = (
-        fp.join(reps.select("simhash", F.col("node").alias("hub"), "n"), "simhash")
-        .where((F.col("n") > 1) & (F.col("node") != F.col("hub")))
-        .select(F.col("hub").alias("src"), F.col("node").alias("dst"))
+    # star-connect identical fingerprints; one representative per fingerprint.
+    # min/count over a fingerprint window replace the former groupBy + join-
+    # back, which exchanged the fingerprint relation twice (distinct
+    # fingerprints defeat partial aggregation); the representative rows are
+    # simply the rows whose node IS the window min.
+    w = Window.partitionBy("simhash")
+    fpw = fp.select(
+        "node",
+        "simhash",
+        F.min("node").over(w).alias("hub"),
+        F.count("*").over(w).alias("n"),
     )
+    same_fp_pairs = fpw.where(
+        (F.col("n") > 1) & (F.col("node") != F.col("hub"))
+    ).select(F.col("hub").alias("src"), F.col("node").alias("dst"))
 
     # (chunk index, chunk value) packed into ONE key: index in the bits above
     # the chunk width (chunk values are < 2^width by construction, so keys
     # from different indices can never collide) — halves the join-key width
     # in the self-join exchange, the operator's dominant shuffle
-    distinct_fp = reps.select("node", "simhash")
+    distinct_fp = fpw.where(F.col("node") == F.col("hub")).select("node", "simhash")
     chunked = distinct_fp.select(
         "node",
         "simhash",

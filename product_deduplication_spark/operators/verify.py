@@ -68,8 +68,13 @@ def verify_pairs(
     a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
     b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")
     joined = pairs.join(a.hint("merge"), "src").join(b.hint("merge"), "dst")
+    # |A ∪ B| = |A| + |B| - |A ∩ B| — exact for these arrays (shingle sets
+    # are distinct by construction, _to_shingle32 returns np.unique), and it
+    # skips materializing a |A|+|B|-element union array per candidate pair;
+    # only the intersect pass remains. Integer arithmetic, so `sim` is
+    # bit-identical to the array_union form.
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
     sim = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     out = (
         joined.withColumn("similarity", sim)

@@ -435,14 +435,14 @@ def token_jaccard_lsh_impl(docs: DataFrame, query_pred, shuffle_partitions: int)
     """LSH band-PROBE token-Jaccard: the delta specialization of LSH banding
     for a small query set. Every doc is banded once (MinHash over token
     1-gram shingles, r=2 rows x 63 bands — S-curve 1-(1-s^2)^63 ~ 1-1e-8 at
-    s=0.5, so a >= 0.5 pair misses every band with P ~ 1e-8); the query
-    docs' (band, band_hash) keys are then equi-joined into the corpus band
-    relation, emitting (query, member) candidates DIRECTLY — no bucket
-    statistics, no pair enumeration, so cost is linear in actual band
-    collisions. Exact token-set Jaccard (JVM array ops, identical
-    expressions to the theta twin) verifies candidates.
+    s=0.5, so a >= 0.5 pair misses every band with P ~ 1e-8); each bucket's
+    colliding query ids are collected with a window over the banded corpus,
+    emitting (query, member) candidates DIRECTLY — no bucket statistics, no
+    pair enumeration, so cost is linear in actual band collisions. Exact
+    token-set Jaccard (JVM array ops, identical expressions to the theta
+    twin) verifies candidates.
 
-    Complete for (query, any) pairs by construction (a probe join cannot
+    Complete for (query, any) pairs by construction (a bucket window cannot
     drop a colliding pair, unlike hub-star bucket approximations).
 
     Scale note (measured at sf0.1): this corpus is pathologically dense —
@@ -453,7 +453,7 @@ def token_jaccard_lsh_impl(docs: DataFrame, query_pred, shuffle_partitions: int)
     demonstrates the crossover on the sparse webtext corpus.
     """
     from product_deduplication_spark.functions.features import with_features
-    from product_deduplication_spark.operators.lsh import explode_bands
+    from product_deduplication_spark.operators.lsh import _pack_band_key, explode_bands
 
     cfg = DedupConfig(
         shingle_mode="token",
@@ -466,12 +466,23 @@ def token_jaccard_lsh_impl(docs: DataFrame, query_pred, shuffle_partitions: int)
     feats = with_features(docs.select("doc_id", "text"), cfg, simhash=False).select(
         "doc_id", "bands"
     )
-    bands = explode_bands(feats, cfg)
-    probe = bands.where(query_pred(F.col("node"))).select(
-        "band", "band_hash", F.col("node").alias("qid")
+    # candidates in ONE pass over the banded corpus: a bucket window collects
+    # the query ids colliding in each (band, hash) bucket and every member
+    # pairs with them. The former probe self-join referenced the band
+    # relation twice, which (uncached — this is a one-shot query) ran the
+    # whole feature UDF + explode once per side; the window keeps a single
+    # feature pass and a single exchange, on a packed 1-long bucket key.
+    # Query lists stay tiny (bounded by the probe set), so the per-row
+    # collect is O(queries-in-bucket), never O(bucket).
+    bands = explode_bands(feats, cfg).select(
+        "node", _pack_band_key(F.col("band"), F.col("band_hash")).alias("bkey")
+    )
+    qs = F.collect_list(F.when(query_pred(F.col("node")), F.col("node"))).over(
+        Window.partitionBy("bkey")
     )
     cand = (
-        probe.join(bands, ["band", "band_hash"])
+        bands.withColumn("_qs", qs)
+        .select("node", F.explode("_qs").alias("qid"))
         .where(F.col("qid") != F.col("node"))
         .select(
             F.least("qid", "node").alias("src"), F.greatest("qid", "node").alias("dst")
@@ -481,11 +492,20 @@ def token_jaccard_lsh_impl(docs: DataFrame, query_pred, shuffle_partitions: int)
     toks = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     a = toks.select(F.col("doc_id").alias("src"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("dst"), F.col("toks").alias("toks_b"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (token arrays are array_distinct sets) —
+    # integer-exact, skips materializing the union array per pair; identical
+    # jaccard doubles to the theta twin's array_union form
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size(F.array_union("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    # no join hints: the token sides carry sane scan-derived size estimates
+    # (plain split of a parquet column, no UDF), so static planning keeps
+    # them un-broadcast when they are big, and AQE's runtime-exact sizes
+    # broadcast the small candidate side instead of shuffling + sorting the
+    # whole token-array relation twice (the former forced merge joins did
+    # exactly that even when cand was a few hundred rows).
     return (
-        cand.join(a.hint("merge"), "src")
-        .join(b.hint("merge"), "dst")
+        cand.join(a, "src")
+        .join(b, "dst")
         .withColumn("jaccard", F.round(inter / union, 4))
         .where(F.col("jaccard") >= 0.5)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "jaccard")
@@ -510,18 +530,25 @@ def q_knn_cosine(spark, sf):
     e = _t(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    q = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    # norms hoisted to each side BEFORE the theta join: the same expressions
+    # evaluated once per vector instead of once per (query, vector) pair cut
+    # the per-pair O(d) work to the dot product alone (identical doubles —
+    # same aggregate over the same array, only evaluated earlier)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+    )
+    en = e.withColumn("en", norm(F.col("v")))
     pairs = (
-        q.join(e, F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", F.round(dot / (norm(F.col("qv")) * norm(F.col("v"))), 6))
+        q.join(en, F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(dot / (F.col("qn") * F.col("en")), 6))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
