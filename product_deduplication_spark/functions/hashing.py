@@ -488,7 +488,9 @@ def simhash64(token_hash_arrays: list[np.ndarray]) -> np.ndarray:
         # irrelevant as long as it is consistent)
         bits = np.unpackbits(Hs[:, None].byteswap().view(np.uint8), axis=1)
         off_s = offsets[d0:d1] - start
-        sums = np.add.reduceat(bits.astype(np.int64), off_s, axis=0)
+        # dtype=int64 accumulates in the output type directly — skips the
+        # (tile, 64) x 8B astype temporary per tile (same values)
+        sums = np.add.reduceat(bits, off_s, axis=0, dtype=np.int64)
         majority = (2 * sums) >= sizes[nonempty][d0:d1, None]
         packed = np.packbits(majority.astype(np.uint8), axis=1)
         vals[d0:d1] = packed.view(">u8").astype(np.uint64).reshape(-1)

@@ -10,8 +10,11 @@ small-star computes exactly that in O(log n) rounds (Kiveris et al.,
 
 Each round is two window-min passes (one exchange of the edge list each —
 see _large_star) plus a dedup; ``localCheckpoint`` per round truncates
-lineage (SURVEY.md §4.2). Convergence = edge multiset stable (count +
-order-insensitive xxhash64 sum — one cheap agg per round).
+lineage (SURVEY.md §4.2). Convergence: edge count stable (one cheap count
+per round, which doubles as the checkpoint materializer) and the edge set
+is a star forest (``_is_star_forest`` — a fixed point of both star ops, so
+the round that reaches it is the last; the former multiset-signature
+compare burned a full extra round just to observe stability).
 
 At scale: all exchanges are on long node ids. A hot root (giant component)
 concentrates its O(degree) neighbor rows on one reducer — exactly what the
@@ -68,14 +71,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.unionAll(self_edges)
 
 
-def _signature(edges: DataFrame) -> tuple[int, int]:
-    # bit_xor: order-insensitive, overflow-free (ANSI-safe) multiset hash —
-    # valid because the canonicalized edge set is distinct
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).collect()[0]
-    return int(row["n"]), int(row["h"])
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the canonical (u > v, distinct) edge set is a star forest:
+    every u appears in exactly one edge, and no node is both a member (u)
+    and a root (v). A star forest is a FIXED POINT of both star operations
+    (large-star: a root's closed-neighborhood min is itself; small-star:
+    each member's single neighbor is already the min), so this detects
+    convergence one round EARLIER than the former multiset-signature
+    compare, which needed an extra full round just to observe stability.
+    One exchange on node ids + a scalar isEmpty."""
+    ends = edges.select(
+        F.col("u").alias("n"), F.lit(1).alias("cu"), F.lit(0).alias("cv")
+    ).unionAll(edges.select(F.col("v").alias("n"), F.lit(0), F.lit(1)))
+    per = ends.groupBy("n").agg(F.sum("cu").alias("cu"), F.sum("cv").alias("cv"))
+    return per.where(
+        (F.col("cu") > 1) | ((F.col("cu") > 0) & (F.col("cv") > 0))
+    ).isEmpty()
 
 
 def connected_components(
@@ -97,21 +108,25 @@ def connected_components(
         e = _canonical(edges).localCheckpoint(eager=True)
     if e.isEmpty():
         return edges.sparkSession.createDataFrame([], "node long, component long")
-    prev_sig = None
+    prev_n = None
     for _ in range(max_iter):
         e = _canonical(_large_star(e))
         e = _canonical(_small_star(e))
         if catalog is not None:
             e = pin(e, catalog, "pin_cc_frontier")
         else:
-            # lazy checkpoint: the signature action below materializes it,
-            # so a round costs ONE driver round-trip, not two (per-round
-            # driver latency is the main serial fraction at high core counts)
+            # lazy checkpoint: the count action below materializes it, so a
+            # round costs ONE driver round-trip, not two (per-round driver
+            # latency is the main serial fraction at high core counts)
             e = e.localCheckpoint(eager=False)
-        sig = _signature(e)
-        if sig == prev_sig:
+        # stable edge COUNT is a cheap necessary condition for convergence;
+        # only then pay the star-forest check (sufficient: a star forest is
+        # a fixed point, see _is_star_forest — the round that REACHES the
+        # forest is the last one, no confirmation round needed)
+        n = e.count()
+        if n == prev_n and _is_star_forest(e):
             break
-        prev_sig = sig
+        prev_n = n
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     # converged star: every edge is (member u -> root v)

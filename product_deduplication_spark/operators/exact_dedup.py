@@ -47,8 +47,10 @@ def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str 
     direct query-surface form (used by __spark_entry__ with a DuckDB oracle).
     """
     hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_hash"))
-    counts = hashed.groupBy("text_hash").agg(F.count("*").alias("group_size"))
     return (
-        hashed.join(counts.where(F.col("group_size") > 1), "text_hash")
+        hashed.withColumn(
+            "group_size", F.count("*").over(Window.partitionBy("text_hash"))
+        )
+        .where(F.col("group_size") > 1)
         .select("text_hash", F.col(id_col), "group_size")
     )

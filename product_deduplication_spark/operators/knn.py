@@ -113,10 +113,12 @@ def ann_candidates(
         F.explode(udf(F.col(vec_col))).alias("bucket"),
     )
     if bucket_cap is not None:
-        sizes = c.groupBy("bucket").agg(F.count("*").alias("_bn"))
+        # bucket size via a window over ONE exchange of the exploded corpus
+        # relation (the former groupBy + join-back shuffled the vector-
+        # carrying rows twice); same deterministic hash-stride thinning
         stride = F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("long")
         c = (
-            c.join(sizes, "bucket")
+            c.withColumn("_bn", F.count("*").over(Window.partitionBy("bucket")))
             .where(
                 (F.col("_bn") <= bucket_cap)
                 | (F.pmod(F.xxhash64("neighbor_id", "bucket"), stride) == 0)

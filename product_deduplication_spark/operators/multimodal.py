@@ -38,7 +38,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -475,13 +475,16 @@ def repartition_by_bytes(
 
 def exact_media_dedup(features: DataFrame) -> DataFrame:
     """Byte-identical media dedup via content hash (same star-edge shape as
-    text exact dedup)."""
-    hubs = features.groupBy("payload_sha256").agg(
-        F.min("doc_url").alias("hub"), F.count("*").alias("n")
-    )
+    text exact dedup; same single-exchange window as exact_duplicate_edges —
+    the former groupBy + join-back shuffled the features twice)."""
+    w = Window.partitionBy("payload_sha256")
     return (
-        features.join(hubs.where(F.col("n") > 1), "payload_sha256")
-        .where(F.col("doc_url") != F.col("hub"))
+        features.select(
+            "doc_url",
+            F.min("doc_url").over(w).alias("hub"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where((F.col("n") > 1) & (F.col("doc_url") != F.col("hub")))
         .select(
             F.col("hub").alias("src"),
             F.col("doc_url").alias("dst"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
@@ -86,9 +86,13 @@ def substring_candidate_pairs(
     ex = feats.select("node", "n_len", F.explode("fps").alias("fp"))
     # hot fingerprints (boilerplate runs): exclude from the join AND from
     # the containment denominator — a doc that is 90% boilerplate must
-    # still reach frac>=0.6 through its surviving distinctive fingerprints
-    sizes = ex.groupBy("fp").agg(F.count("*").alias("bn"))
-    ex = ex.join(sizes.where(F.col("bn") <= cfg.bucket_cap), "fp")
+    # still reach frac>=0.6 through its surviving distinctive fingerprints.
+    # Bucket size via a window over ONE exchange of the exploded fingerprint
+    # relation (the former groupBy + join-back shuffled it twice), which
+    # also leaves ex partitioned by fp for the a/b containment join below.
+    ex = ex.withColumn(
+        "bn", F.count("*").over(Window.partitionBy("fp"))
+    ).where(F.col("bn") <= cfg.bucket_cap)
     total = ex.groupBy("node").agg(F.count("*").alias("n_fp"))
     a = ex.select(
         F.col("fp"), F.col("node").alias("big"), F.col("n_len").alias("big_len")
@@ -130,9 +134,9 @@ def substring_hot_stats(
         F.col(id_col).alias("node"), fp_udf(F.col(text_col)).alias("fps")
     ).where(F.size("fps") > 0)
     ex = feats.select("node", F.explode("fps").alias("fp"))
-    sizes = ex.groupBy("fp").agg(F.count("*").alias("bn"))
+    # same single-exchange window as substring_candidate_pairs
     return (
-        ex.join(sizes, "fp")
+        ex.withColumn("bn", F.count("*").over(Window.partitionBy("fp")))
         .groupBy("node")
         .agg(
             F.count("*").alias("n_fp_total"),

@@ -48,13 +48,25 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # Spark's default 10MB. 64MB was a scale bug: size ESTIMATES for
-        # not-yet-materialized cached/UDF relations run far below reality,
-        # and a statically-chosen broadcast of an array<long>-carrying
-        # features relation collected ~1 GiB to the driver at 370k docs
-        # (maxResultSize abort). Genuinely small dims use explicit
-        # F.broadcast hints, which override this threshold anyway.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Estimate-based STATIC broadcasts are off entirely (-1): size
+        # ESTIMATES for not-yet-materialized cached/UDF/derived relations run
+        # far below reality — a statically-chosen broadcast of an
+        # array<long>-carrying features relation collected ~1 GiB to the
+        # driver at 370k docs (maxResultSize abort) under a 64MB threshold,
+        # and this round the 10MB threshold still statically broadcast a
+        # corpus-derived token-array relation in token_jaccard_lsh under a
+        # bad array-size estimate. Broadcasts now happen only via explicit
+        # F.broadcast hints on provably-bounded sides, or via AQE's runtime
+        # conversion below, which decides from EXACT materialized shuffle
+        # sizes instead of estimates (guide §3.1: prefer hints/runtime over
+        # estimates). AQE pays the small side's shuffle write first, but its
+        # local-read broadcast conversion skips the fetch+sort, so small
+        # dims still end up broadcast — now provably so.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(10 * 1024 * 1024),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -241,13 +241,23 @@ def incremental_dedup(
     # Delta-restricted like LSH: only hash groups containing a new doc emit
     # edges (old-old exact edges are already inside prior clusters).
     new_ids = truly_new.select("doc_id")
-    hashed = all_docs.select("doc_id", F.sha2("text", 256).alias("h"))
-    new_hashes = hashed.join(new_ids, "doc_id", "left_semi").select("h").distinct()
-    touched = hashed.join(new_hashes, "h", "left_semi")
-    hubs = touched.groupBy("h").agg(F.min("doc_id").alias("hub"), F.count("*").alias("n"))
+    # one window over the (doc_id, h) relation replaces the former
+    # semi-join + groupBy + join-back chain (4 extra exchanges of the
+    # corpus-hash relation): per hash group, min/count give the star shape
+    # and max(is_new) restricts to groups touching the delta, exactly as
+    # the new_hashes semi-join did
+    hashed = all_docs.select("doc_id", F.sha2("text", 256).alias("h")).join(
+        new_ids.withColumn("_n", F.lit(True)), "doc_id", "left"
+    )
+    hw = Window.partitionBy("h")
     exact_edges = (
-        touched.join(hubs.where(F.col("n") > 1), "h")
-        .where(F.col("doc_id") != F.col("hub"))
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(hw).alias("hub"),
+            F.count("*").over(hw).alias("n"),
+            F.max(F.coalesce(F.col("_n"), F.lit(False))).over(hw).alias("_touched"),
+        )
+        .where(F.col("_touched") & (F.col("n") > 1) & (F.col("doc_id") != F.col("hub")))
         .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
     )
 
