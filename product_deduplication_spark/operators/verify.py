@@ -62,12 +62,49 @@ def verify_pairs(
     id_col: str = "doc_id",
     method: str = "minhash",
 ) -> DataFrame:
-    """(src, dst, method, similarity) for pairs with exact Jaccard >= threshold."""
-    pairs = minhash_estimate_prefilter(pairs, features, cfg, id_col)
-    feat = features.select(F.col(id_col).alias("_fid"), F.col("shingles").alias("_sh"))
-    a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
-    b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")
-    joined = pairs.join(a.hint("merge"), "src").join(b.hint("merge"), "dst")
+    """(src, dst, method, similarity) for pairs with exact Jaccard >= threshold.
+
+    Join structure with the prefilter on: THREE feature joins, not four —
+    (1) src side attaches the signature, (2) dst side attaches signature AND
+    shingles in one join (the shingles ride the features-side exchange,
+    whose bytes are O(corpus) and shipped either way; the estimate filter
+    runs in the same stage, so no per-candidate shingle bytes cross a
+    further exchange), (3) the SURVIVORS re-join the src side for shingles.
+    Identical byte profile to the former separate-prefilter four-join chain
+    — per-candidate intermediates still carry only signatures until the
+    estimate filter — at one join / three stages less fixed latency."""
+    if cfg.prefilter_margin is None:
+        feat = features.select(F.col(id_col).alias("_fid"), F.col("shingles").alias("_sh"))
+        a = feat.withColumnRenamed("_fid", "src").withColumnRenamed("_sh", "_sh_a")
+        b = feat.withColumnRenamed("_fid", "dst").withColumnRenamed("_sh", "_sh_b")
+        joined = pairs.join(a.hint("merge"), "src").join(b.hint("merge"), "dst")
+    else:
+        sig_a = features.select(
+            F.col(id_col).alias("src"), F.col("minhash").alias("_sig_a")
+        )
+        b_side = features.select(
+            F.col(id_col).alias("dst"),
+            F.col("minhash").alias("_sig_b"),
+            F.col("shingles").alias("_sh_b"),
+        )
+        sh_a = features.select(
+            F.col(id_col).alias("src"), F.col("shingles").alias("_sh_a")
+        )
+        est = F.aggregate(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(cfg.num_hashes)
+        cutoff = max(0.0, cfg.jaccard_threshold - cfg.prefilter_margin)
+        # merge hints: see minhash_estimate_prefilter — the feature sides
+        # grow with the corpus and must never be (mis-estimate) broadcast
+        joined = (
+            pairs.join(sig_a.hint("merge"), "src")
+            .join(b_side.hint("merge"), "dst")
+            .where(est >= F.lit(cutoff))
+            .select("src", "dst", "_sh_b")
+            .join(sh_a.hint("merge"), "src")
+        )
     # |A ∪ B| = |A| + |B| - |A ∩ B| — exact for these arrays (shingle sets
     # are distinct by construction, _to_shingle32 returns np.unique), and it
     # skips materializing a |A|+|B|-element union array per candidate pair;
