@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 from product_deduplication_spark.config import DedupConfig
 
 
+def _sig32(col):
+    """Signature narrowed to 32-bit ints for the ESTIMATE joins — halves the
+    per-candidate signature bytes crossing the prefilter exchanges. Output-
+    neutral by a superset argument: truncated equality is a SUPERSET of full
+    equality, so the estimate can only increase and the filter only becomes
+    more permissive — no pair that previously reached the exact-Jaccard
+    check is dropped, and every extra survivor (P ~ 2^-31 per element) still
+    faces the exact check, which alone decides the output."""
+    return F.transform(
+        col, lambda x: x.bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")
+    )
+
+
 def minhash_estimate_prefilter(
     pairs: DataFrame, features: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -35,7 +48,9 @@ def minhash_estimate_prefilter(
     """
     if cfg.prefilter_margin is None:
         return pairs
-    sig = features.select(F.col(id_col).alias("_sid"), F.col("minhash").alias("_sig"))
+    sig = features.select(
+        F.col(id_col).alias("_sid"), _sig32(F.col("minhash")).alias("_sig")
+    )
     a = sig.withColumnRenamed("_sid", "src").withColumnRenamed("_sig", "_sig_a")
     b = sig.withColumnRenamed("_sid", "dst").withColumnRenamed("_sig", "_sig_b")
     est = F.aggregate(
@@ -80,11 +95,11 @@ def verify_pairs(
         joined = pairs.join(a.hint("merge"), "src").join(b.hint("merge"), "dst")
     else:
         sig_a = features.select(
-            F.col(id_col).alias("src"), F.col("minhash").alias("_sig_a")
+            F.col(id_col).alias("src"), _sig32(F.col("minhash")).alias("_sig_a")
         )
         b_side = features.select(
             F.col(id_col).alias("dst"),
-            F.col("minhash").alias("_sig_b"),
+            _sig32(F.col("minhash")).alias("_sig_b"),
             F.col("shingles").alias("_sh_b"),
         )
         sh_a = features.select(
