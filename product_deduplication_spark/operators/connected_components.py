@@ -40,6 +40,23 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
+def _canonical_by_u(edges: DataFrame) -> DataFrame:
+    """_canonical, but partitioned by ``u`` alone: HashPartitioning(u)
+    satisfies the dedup's ClusteredDistribution(u, v) AND the following
+    small-star window's ClusteredDistribution(u), so the dedup and the
+    window share ONE exchange (verified in the plan: Exchange → two
+    HashAggregates → Sort → Window, no second exchange) instead of the
+    dedup exchanging by (u, v) and the window re-exchanging by u."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node, connect strictly-larger neighbors to the min of the
     closed neighborhood.
@@ -110,7 +127,7 @@ def connected_components(
         return edges.sparkSession.createDataFrame([], "node long, component long")
     prev_n = None
     for _ in range(max_iter):
-        e = _canonical(_large_star(e))
+        e = _canonical_by_u(_large_star(e))
         e = _canonical(_small_star(e))
         if catalog is not None:
             e = pin(e, catalog, "pin_cc_frontier")
