@@ -114,9 +114,10 @@ def main(argv: list[str] | None = None) -> None:
 
     def _clusters():
         edges = exact.select("src", "dst").unionByName(verified.select("src", "dst"))
-        return pick_winners(assign_clusters(docs, edges, "doc_id")).select(
-            "url", "doc_id", "cluster_id", "is_winner"
-        )
+        # _text_len below the label join keeps text out of the join exchange
+        return pick_winners(
+            assign_clusters(docs.withColumn("_text_len", F.length("text")), edges, "doc_id")
+        ).select("url", "doc_id", "cluster_id", "is_winner")
 
     clusters = cat.get_or_compute("s6_clusters", _clusters)
     n_docs = clusters.count()

@@ -75,8 +75,17 @@ def pick_winners(clusters: DataFrame) -> DataFrame:
     """Winner per cluster: longest text, then earliest warc_ts, then min url.
 
     Webtext analog of reference winner selection (W2 group argmax,
-    ``reference/winner_selection.py:108-109``)."""
-    order = [F.desc(F.length("text"))]
+    ``reference/winner_selection.py:108-109``).
+
+    Ordering uses a precomputed ``_text_len`` column when the caller provides
+    one (run_dedup tags it on the doc relation BEFORE the cluster-label
+    join): ``length(text)`` referenced only above that join forces the full
+    ``text`` payload through the join exchange even for consumers that never
+    select it, whereas a length computed below the join lets column pruning
+    drop ``text`` (and ``html``) from the shuffle entirely (guide §2.3 —
+    shuffle metadata, not payloads). Identical ordering either way."""
+    length_col = "_text_len" if "_text_len" in clusters.columns else None
+    order = [F.desc(F.col(length_col) if length_col else F.length("text"))]
     if "warc_ts" in clusters.columns:
         order.append(F.asc("warc_ts"))
     order.append(F.asc("url"))
@@ -162,11 +171,14 @@ def run_dedup(
     # min-id hubs so the iterative CC runs on the near-dup graph only (label
     # equality with the uncontracted CC is pinned in tests; at web scale the
     # exact stars dominate the edge list)
+    # winner ordering key computed BELOW the label join (see pick_winners:
+    # lets count-only consumers prune text/html out of the join exchange)
     clustered = assign_clusters_contracted(
-        docs, exact.select("src", "dst"), near.select("src", "dst"), "doc_id",
+        docs.withColumn("_text_len", F.length("text")),
+        exact.select("src", "dst"), near.select("src", "dst"), "doc_id",
         scope=scope,
     )
-    clustered = pick_winners(clustered)
+    clustered = pick_winners(clustered).drop("_text_len")
     return DedupResult(
         docs=docs,
         features=feats,

@@ -271,8 +271,14 @@ def incremental_dedup(
     edges = exact_edges.unionByName(near)
     if prior_edges is not None:
         edges = edges.unionByName(prior_edges)
+    # _text_len below the label join: keeps the text payload out of the
+    # join exchange (this select prunes it from the window already)
     clusters = pick_winners(
-        assign_clusters(all_docs, edges.dropDuplicates(["src", "dst"]), "doc_id")
+        assign_clusters(
+            all_docs.withColumn("_text_len", F.length("text")),
+            edges.dropDuplicates(["src", "dst"]),
+            "doc_id",
+        )
     ).select("url", "doc_id", "cluster_id", "is_winner")
 
     # the CLUSTERS delta: new docs + old docs whose assignment or winner

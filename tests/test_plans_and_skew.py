@@ -300,3 +300,62 @@ def test_no_forced_broadcast_of_corpus_sides_across_operators(spark):
             assert ("_pid" in ctx and "_offset" in ctx) or (
                 "_mu" in ctx and "_sd" in ctx
             ), f"{name}: forced broadcast of a corpus-derived side:\n{ctx}"
+
+
+def _exchange_blocks(plan: str) -> list[str]:
+    """Detail blocks of the formatted plan belonging to Exchange nodes."""
+    blocks, cur, keep = [], [], False
+    for ln in plan.splitlines():
+        if ln.startswith("(") and ") " in ln:
+            if keep and cur:
+                blocks.append("\n".join(cur))
+            keep = ") Exchange" in ln
+            cur = [ln]
+        elif cur:
+            cur.append(ln)
+    if keep and cur:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
+def test_winner_orderkey_keeps_text_out_of_exchanges(spark, sf_dir):
+    """pick_winners with a precomputed ``_text_len`` (what run_dedup now
+    passes): the text payload must not cross ANY exchange for a consumer
+    that doesn't select it — the length is computed below the label join,
+    so column pruning drops text from the join and window shuffles. The
+    length(text)-above-the-join form (frozen callers without the column)
+    must still produce the identical winner set."""
+    from product_deduplication_spark.pipeline import pick_winners
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("url", F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), (F.col("doc_id") % 7).alias("component")
+    )
+
+    def clusters(d):
+        return (
+            d.join(labels, d["doc_id"] == labels["node"])
+            .withColumn("cluster_id", F.col("component"))
+            .drop("node", "component")
+        )
+
+    narrow = pick_winners(clusters(docs.withColumn("_text_len", F.length("text"))))
+    wide = pick_winners(clusters(docs))
+
+    out = narrow.select("cluster_id", "is_winner")
+    for block in _exchange_blocks(_plan(out)):
+        assert "text#" not in block, f"text payload crosses an exchange:\n{block}"
+    # control: the length(text)-above-the-join form ships text through a shuffle
+    assert any(
+        "text#" in b for b in _exchange_blocks(_plan(wide.select("cluster_id", "is_winner")))
+    )
+
+    got = sorted(
+        narrow.where("is_winner").select("cluster_id", "url").collect()
+    )
+    want = sorted(wide.where("is_winner").select("cluster_id", "url").collect())
+    assert got == want and len(got) == 7
